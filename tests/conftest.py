@@ -1,0 +1,22 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so mesh /
+sharding tests run without TPU hardware, matching the driver's
+dryrun_multichip validation environment.
+
+The axon sitecustomize hook sets ``jax_platforms="axon,cpu"`` at interpreter
+start, which overrides the JAX_PLATFORMS env var — so we override the config
+value itself (the backend initializes lazily, well after conftest import)."""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,149 @@
+"""Golden parity: our JAX encoders must reproduce the reference torch
+open_clip model bit-for-bit (float tolerance) when loaded with the same
+weights through the checkpoint bridge. This is the correctness anchor for
+everything downstream (zero-shot eval, training loss, SAE features)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from xclip_tpu.core.checkpoint import (
+    open_clip_state_dict_to_pytrees,
+    pytrees_to_open_clip_state_dict,
+)
+from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+HAS_REFERENCE = os.path.exists("/root/reference")
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+
+SMALL_RN = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 64, "layers": [1, 1, 1, 1], "width": 16, "patch_size": None},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 64, "heads": 4, "layers": 2},
+}
+SMALL_VIT = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 64, "layers": 2, "width": 64, "patch_size": 16, "head_width": 16},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 64, "heads": 4, "layers": 2},
+}
+
+
+def _build_ref_model(cfg_dict, quick_gelu=False):
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+
+    torch.manual_seed(0)
+    model = open_clip.CLIP(
+        embed_dim=cfg_dict["embed_dim"],
+        vision_cfg=cfg_dict["vision_cfg"],
+        text_cfg=cfg_dict["text_cfg"],
+        quick_gelu=quick_gelu,
+    )
+    model.eval()
+    return model
+
+
+def _parity_case(cfg_dict, quick_gelu, img_tol=2e-4, txt_tol=2e-4):
+    import torch
+
+    ref = _build_ref_model(cfg_dict, quick_gelu)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = CLIPModel(clip_cfg_from_dict(cfg_dict, quick_gelu=quick_gelu))
+    params, state = open_clip_state_dict_to_pytrees(sd, model)
+
+    rng = np.random.RandomState(0)
+    size = cfg_dict["vision_cfg"]["image_size"]
+    img = rng.randn(2, size, size, 3).astype(np.float32)
+    text = np.zeros((3, 77), dtype=np.int64)
+    text[:, 0] = 49406
+    text[0, 1:5] = [320, 1125, 539, 320]
+    text[:, 5] = 49407
+    text[1, 1:3] = [1000, 2000]
+    text[2, 1:7] = [5, 6, 7, 8, 9, 10]
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(text)).numpy()
+
+    got_img, _, _ = model.encode_image(params, img, state=state)
+    got_txt, _ = model.encode_text(params, text)
+    got_img, got_txt = np.asarray(got_img), np.asarray(got_txt)
+
+    np.testing.assert_allclose(ref_img, got_img, atol=img_tol, rtol=1e-3)
+    np.testing.assert_allclose(ref_txt, got_txt, atol=txt_tol, rtol=1e-3)
+    return ref, model, params, state
+
+
+class TestSmallModels:
+    def test_resnet_parity(self):
+        _parity_case(SMALL_RN, quick_gelu=False)
+
+    def test_resnet_quickgelu_parity(self):
+        _parity_case(SMALL_RN, quick_gelu=True)
+
+    def test_vit_parity(self):
+        _parity_case(SMALL_VIT, quick_gelu=False)
+
+    def test_roundtrip_export(self):
+        """params -> open_clip state dict -> params must be exact."""
+        import torch
+
+        ref = _build_ref_model(SMALL_RN)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        model = CLIPModel(clip_cfg_from_dict(SMALL_RN))
+        params, state = open_clip_state_dict_to_pytrees(sd, model)
+        sd2 = pytrees_to_open_clip_state_dict(model, params, state)
+        ref2 = _build_ref_model(SMALL_RN)
+        missing, unexpected = ref2.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd2.items()}, strict=False
+        )
+        assert not missing, missing
+        assert not unexpected, unexpected
+        for k, v in ref2.state_dict().items():
+            if k == "attn_mask" or k.endswith("num_batches_tracked"):
+                continue
+            np.testing.assert_array_equal(v.numpy(), sd[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_full_rn50_parity():
+    _parity_case(
+        {
+            "embed_dim": 1024,
+            "vision_cfg": {"image_size": 224, "layers": [3, 4, 6, 3], "width": 64, "patch_size": None},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512, "heads": 8, "layers": 12},
+        },
+        quick_gelu=True,
+        img_tol=5e-3,
+        txt_tol=2e-3,
+    )
+
+
+@pytest.mark.slow
+def test_full_vit_b32_parity():
+    _parity_case(
+        {
+            "embed_dim": 512,
+            "vision_cfg": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512, "heads": 8, "layers": 12},
+        },
+        quick_gelu=False,
+        img_tol=2e-3,
+        txt_tol=2e-3,
+    )
+
+
+def test_intermediates_capture():
+    model = CLIPModel(clip_cfg_from_dict(SMALL_RN))
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    names = model.visual_stage_names()
+    feats, _, inters = model.encode_image(params, x, state=state, capture=names)
+    assert set(inters) == set(names)
+    assert inters["attnpool"].shape == (1, 64)

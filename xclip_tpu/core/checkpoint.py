@@ -1,0 +1,427 @@
+"""Checkpoint IO: torch ``.pt`` bridge + native npz checkpoints.
+
+The reference stores open_clip checkpoints as torch state dicts
+(``{'epoch','name','state_dict'[,'optimizer','scaler']}`` — reference:
+deps/open_clip/src/training/main.py:450-483), with a bare-state-dict load
+path and ``module.`` prefix stripping (main.py:342-353,
+xclip/open_clip/model.py:42-43). This module loads those files directly into
+the JAX param/state pytrees, handling the layout differences:
+
+- torch Linear weight ``(out, in)``    -> JAX kernel ``(in, out)``
+- torch Conv2d weight OIHW             -> JAX kernel HWIO
+- packed MultiheadAttention ``in_proj_weight`` -> separate q/k/v kernels
+- BatchNorm ``running_mean/var``       -> state pytree leaves
+- fp16-stored weights                  -> upcast to fp32
+- ``_logit_scale``/``logit_scale`` aliasing (xclip/clip/model.py:516-517)
+
+Native checkpoints are a single ``.npz`` with flattened pytree keys plus a
+JSON header — no torch dependency at load time. ``save_open_clip_checkpoint``
+exports back to the reference's torch format so reference tooling can consume
+models trained here.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import zipfile
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEP = "/"
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat dict
+
+
+def flatten_pytree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{path}{SEP}{k}" if path else str(k))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(v, f"{path}{SEP}{i}" if path else str(i))
+        else:
+            out[path] = np.asarray(node)
+
+    rec(tree, prefix)
+    return out
+
+
+def unflatten_into(tree, flat: Dict[str, np.ndarray]):
+    """Replace leaves of ``tree`` by values from ``flat`` (same structure)."""
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, f"{path}{SEP}{k}" if path else str(k)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [rec(v, f"{path}{SEP}{i}" if path else str(i)) for i, v in enumerate(node)]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        if path not in flat:
+            raise KeyError(f"checkpoint missing key {path}")
+        val = np.asarray(flat[path])
+        expected = np.shape(node)
+        if tuple(val.shape) != tuple(expected):
+            raise ValueError(f"shape mismatch for {path}: ckpt {val.shape} vs model {expected}")
+        return jnp.asarray(val, dtype=jnp.asarray(node).dtype)
+
+    return rec(tree, "")
+
+
+# ---------------------------------------------------------------------------
+# torch .pt reading (zip/pickle format, no torch required)
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy arrays.
+
+    Uses torch when importable (robust path); otherwise a minimal reader for
+    the standard zip serialization format.
+    """
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and "state_dict" in ckpt:
+            sd = ckpt["state_dict"]
+        elif isinstance(ckpt, dict):
+            sd = ckpt
+        else:  # jit-scripted archive
+            sd = ckpt.state_dict()
+        out = {}
+        for k, v in sd.items():
+            if hasattr(v, "detach"):
+                out[k] = v.detach().to(torch.float32).cpu().numpy()
+            else:
+                out[k] = np.asarray(v)
+        return out
+    except ImportError:
+        return _read_torch_zip(path)
+
+
+def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:  # pragma: no cover - torch present in CI
+    """Minimal torch-zip reader (pickle protocol with persistent ids)."""
+    import pickle
+
+    dtype_map = {
+        "FloatStorage": np.float32,
+        "HalfStorage": np.float16,
+        "BFloat16Storage": None,  # handled specially below
+        "DoubleStorage": np.float64,
+        "LongStorage": np.int64,
+        "IntStorage": np.int32,
+        "BoolStorage": np.bool_,
+        "ByteStorage": np.uint8,
+    }
+
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("data.pkl"))
+        root = pkl_name[: -len("data.pkl")]
+
+        storages: Dict[str, Tuple[str, bytes]] = {}
+
+        class Unpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                if module.startswith("torch") or module == "collections":
+                    if name == "OrderedDict":
+                        return dict
+                    return lambda *a, **k: (module, name, a)
+                return super().find_class(module, name)
+
+            def persistent_load(self, pid):
+                _, storage_type, key, _loc, numel = pid
+                return ("storage", storage_type, key, numel)
+
+        def rebuild(storage, offset, size, stride, *rest):
+            _, storage_type, key, _numel = storage
+            if key not in storages:
+                data = zf.read(f"{root}data/{key}")
+                storages[key] = (storage_type[1] if isinstance(storage_type, tuple) else storage_type, data)
+            st_name, data = storages[key]
+            np_dtype = dtype_map.get(st_name)
+            if st_name == "BFloat16Storage":
+                raw = np.frombuffer(data, dtype=np.uint16)
+                arr = (raw.astype(np.uint32) << 16).view(np.float32)
+            else:
+                arr = np.frombuffer(data, dtype=np_dtype)
+            arr = arr[offset : offset + int(np.prod(size)) if size else offset + 1]
+            if size:
+                arr = np.lib.stride_tricks.as_strided(
+                    arr, shape=size, strides=[s * arr.itemsize for s in stride]
+                ).copy()
+            return arr
+
+        up = Unpickler(io.BytesIO(zf.read(pkl_name)))
+        obj = up.load()
+
+    def resolve(node):
+        if isinstance(node, tuple) and len(node) == 3 and node[0] == "torch._utils":
+            if node[1] == "_rebuild_tensor_v2":
+                return rebuild(*node[2])
+        if isinstance(node, dict):
+            return {k: resolve(v) for k, v in node.items()}
+        return node
+
+    obj = resolve(obj)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items() if isinstance(v, np.ndarray)}
+
+
+# ---------------------------------------------------------------------------
+# open_clip state dict -> pytree mapping
+
+
+def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
+    if "_logit_scale" in sd and "logit_scale" not in sd:
+        sd["logit_scale"] = sd.pop("_logit_scale")
+    return sd
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _lin(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))  # (out,in) -> (in,out)
+
+
+def _map_bn(flat, sd, base_out: str, base_in: str) -> None:
+    flat[f"{base_out}{SEP}scale"] = sd[f"{base_in}.weight"]
+    flat[f"{base_out}{SEP}bias"] = sd[f"{base_in}.bias"]
+
+
+def _map_bn_state(flat, sd, base_out: str, base_in: str) -> None:
+    flat[f"{base_out}{SEP}mean"] = sd[f"{base_in}.running_mean"]
+    flat[f"{base_out}{SEP}var"] = sd[f"{base_in}.running_var"]
+
+
+def _map_linear(flat, sd, base_out: str, base_in: str) -> None:
+    flat[f"{base_out}{SEP}kernel"] = _lin(sd[f"{base_in}.weight"])
+    if f"{base_in}.bias" in sd:
+        flat[f"{base_out}{SEP}bias"] = sd[f"{base_in}.bias"]
+
+
+def _map_ln(flat, sd, base_out: str, base_in: str) -> None:
+    flat[f"{base_out}{SEP}scale"] = sd[f"{base_in}.weight"]
+    flat[f"{base_out}{SEP}bias"] = sd[f"{base_in}.bias"]
+
+
+def _map_packed_mha(flat, sd, base_out: str, base_in: str, dim: int) -> None:
+    """torch nn.MultiheadAttention (packed qkv) -> q/k/v/out linears."""
+    w = sd[f"{base_in}.in_proj_weight"]
+    b = sd.get(f"{base_in}.in_proj_bias")
+    for i, name in enumerate(("q", "k", "v")):
+        flat[f"{base_out}{SEP}{name}{SEP}kernel"] = _lin(w[i * dim : (i + 1) * dim])
+        if b is not None:
+            flat[f"{base_out}{SEP}{name}{SEP}bias"] = b[i * dim : (i + 1) * dim]
+    _map_linear(flat, sd, f"{base_out}{SEP}out", f"{base_in}.out_proj")
+
+
+def _map_block(flat, sd, base_out: str, base_in: str, dim: int) -> None:
+    _map_ln(flat, sd, f"{base_out}{SEP}ln_1", f"{base_in}.ln_1")
+    _map_packed_mha(flat, sd, f"{base_out}{SEP}attn", f"{base_in}.attn", dim)
+    _map_ln(flat, sd, f"{base_out}{SEP}ln_2", f"{base_in}.ln_2")
+    _map_linear(flat, sd, f"{base_out}{SEP}mlp{SEP}c_fc", f"{base_in}.mlp.c_fc")
+    _map_linear(flat, sd, f"{base_out}{SEP}mlp{SEP}c_proj", f"{base_in}.mlp.c_proj")
+
+
+def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[Dict, Dict]:
+    """Map an open_clip/OpenAI CLIP state dict onto ``model``'s param/state
+    pytrees. ``model`` is a :class:`~xclip_tpu.models.clip.CLIPModel`."""
+    sd = _strip_prefix(dict(sd))
+    cfg = model.cfg
+    pflat: Dict[str, np.ndarray] = {}
+    sflat: Dict[str, np.ndarray] = {}
+
+    # --- text tower (inline keys, reference CLIP layout) ---
+    pflat["text" + SEP + "token_embedding"] = sd["token_embedding.weight"]
+    pflat["text" + SEP + "positional_embedding"] = sd["positional_embedding"]
+    pflat["text" + SEP + "text_projection"] = sd["text_projection"]
+    _map_ln(pflat, sd, "text" + SEP + "ln_final", "ln_final")
+    for i in range(cfg.text.layers):
+        _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"transformer.resblocks.{i}", cfg.text.width)
+    pflat["logit_scale"] = np.asarray(sd["logit_scale"], np.float32).reshape(())
+
+    # --- vision tower ---
+    if cfg.is_resnet:
+        v = "visual"
+        for i in (1, 2, 3):
+            pflat[f"{v}{SEP}stem{SEP}conv{i}{SEP}kernel"] = _conv(sd[f"visual.conv{i}.weight"])
+            _map_bn(pflat, sd, f"{v}{SEP}stem{SEP}bn{i}", f"visual.bn{i}")
+            _map_bn_state(sflat, sd, f"{v}{SEP}stem{SEP}bn{i}", f"visual.bn{i}")
+        for li, blocks in enumerate(cfg.vision.layers):
+            for b in range(blocks):
+                src = f"visual.layer{li + 1}.{b}"
+                dst = f"{v}{SEP}layer{li + 1}{SEP}{b}"
+                for ci in (1, 2, 3):
+                    pflat[f"{dst}{SEP}conv{ci}{SEP}kernel"] = _conv(sd[f"{src}.conv{ci}.weight"])
+                    _map_bn(pflat, sd, f"{dst}{SEP}bn{ci}", f"{src}.bn{ci}")
+                    _map_bn_state(sflat, sd, f"{dst}{SEP}bn{ci}", f"{src}.bn{ci}")
+                if f"{src}.downsample.0.weight" in sd:
+                    pflat[f"{dst}{SEP}downsample{SEP}conv{SEP}kernel"] = _conv(sd[f"{src}.downsample.0.weight"])
+                    _map_bn(pflat, sd, f"{dst}{SEP}downsample{SEP}bn", f"{src}.downsample.1")
+                    _map_bn_state(sflat, sd, f"{dst}{SEP}downsample_bn", f"{src}.downsample.1")
+        ap_src, ap_dst = "visual.attnpool", f"{v}{SEP}attnpool"
+        pflat[f"{ap_dst}{SEP}positional_embedding"] = sd[f"{ap_src}.positional_embedding"]
+        for name, src_name in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("out", "c_proj")):
+            _map_linear(pflat, sd, f"{ap_dst}{SEP}{name}", f"{ap_src}.{src_name}")
+    else:
+        v = "visual"
+        pflat[f"{v}{SEP}conv1{SEP}kernel"] = _conv(sd["visual.conv1.weight"])
+        pflat[f"{v}{SEP}class_embedding"] = sd["visual.class_embedding"]
+        pflat[f"{v}{SEP}positional_embedding"] = sd["visual.positional_embedding"]
+        pflat[f"{v}{SEP}proj"] = sd["visual.proj"]
+        _map_ln(pflat, sd, f"{v}{SEP}ln_pre", "visual.ln_pre")
+        _map_ln(pflat, sd, f"{v}{SEP}ln_post", "visual.ln_post")
+        for i in range(cfg.vision.layers):
+            _map_block(pflat, sd, f"{v}{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
+
+    params0, state0 = model.init(jax.random.PRNGKey(0))
+    params = unflatten_into(params0, pflat)
+    state = unflatten_into(state0, sflat) if sflat else state0
+    return params, state
+
+
+def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarray]:
+    """Inverse mapping: export params/state to an open_clip-format state dict
+    (numpy values) so reference tooling can consume checkpoints trained here."""
+    cfg = model.cfg
+    p = flatten_pytree(jax.device_get(params))
+    s = flatten_pytree(jax.device_get(state))
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(dst, src):
+        sd[f"{dst}.weight"] = _lin(p[f"{src}{SEP}kernel"])
+        if f"{src}{SEP}bias" in p:
+            sd[f"{dst}.bias"] = p[f"{src}{SEP}bias"]
+
+    def put_ln(dst, src):
+        sd[f"{dst}.weight"] = p[f"{src}{SEP}scale"]
+        sd[f"{dst}.bias"] = p[f"{src}{SEP}bias"]
+
+    def put_bn(dst, src_p, src_s):
+        sd[f"{dst}.weight"] = p[f"{src_p}{SEP}scale"]
+        sd[f"{dst}.bias"] = p[f"{src_p}{SEP}bias"]
+        sd[f"{dst}.running_mean"] = s[f"{src_s}{SEP}mean"]
+        sd[f"{dst}.running_var"] = s[f"{src_s}{SEP}var"]
+        sd[f"{dst}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def put_block(dst, src, dim):
+        put_ln(f"{dst}.ln_1", f"{src}{SEP}ln_1")
+        qkv_w = np.concatenate(
+            [_lin(p[f"{src}{SEP}attn{SEP}{n}{SEP}kernel"]) for n in ("q", "k", "v")], axis=0
+        )
+        qkv_b = np.concatenate([p[f"{src}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")])
+        sd[f"{dst}.attn.in_proj_weight"] = qkv_w
+        sd[f"{dst}.attn.in_proj_bias"] = qkv_b
+        put_lin(f"{dst}.attn.out_proj", f"{src}{SEP}attn{SEP}out")
+        put_ln(f"{dst}.ln_2", f"{src}{SEP}ln_2")
+        put_lin(f"{dst}.mlp.c_fc", f"{src}{SEP}mlp{SEP}c_fc")
+        put_lin(f"{dst}.mlp.c_proj", f"{src}{SEP}mlp{SEP}c_proj")
+
+    sd["token_embedding.weight"] = p[f"text{SEP}token_embedding"]
+    sd["positional_embedding"] = p[f"text{SEP}positional_embedding"]
+    sd["text_projection"] = p[f"text{SEP}text_projection"]
+    put_ln("ln_final", f"text{SEP}ln_final")
+    for i in range(cfg.text.layers):
+        put_block(f"transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
+    sd["logit_scale"] = p["logit_scale"].reshape(())
+
+    if cfg.is_resnet:
+        for i in (1, 2, 3):
+            sd[f"visual.conv{i}.weight"] = np.transpose(p[f"visual{SEP}stem{SEP}conv{i}{SEP}kernel"], (3, 2, 0, 1))
+            put_bn(f"visual.bn{i}", f"visual{SEP}stem{SEP}bn{i}", f"visual{SEP}stem{SEP}bn{i}")
+        for li, blocks in enumerate(cfg.vision.layers):
+            for b in range(blocks):
+                src = f"visual{SEP}layer{li + 1}{SEP}{b}"
+                dst = f"visual.layer{li + 1}.{b}"
+                for ci in (1, 2, 3):
+                    sd[f"{dst}.conv{ci}.weight"] = np.transpose(p[f"{src}{SEP}conv{ci}{SEP}kernel"], (3, 2, 0, 1))
+                    put_bn(f"{dst}.bn{ci}", f"{src}{SEP}bn{ci}", f"{src}{SEP}bn{ci}")
+                if f"{src}{SEP}downsample{SEP}conv{SEP}kernel" in p:
+                    sd[f"{dst}.downsample.0.weight"] = np.transpose(
+                        p[f"{src}{SEP}downsample{SEP}conv{SEP}kernel"], (3, 2, 0, 1)
+                    )
+                    put_bn(f"{dst}.downsample.1", f"{src}{SEP}downsample{SEP}bn", f"{src}{SEP}downsample_bn")
+        sd["visual.attnpool.positional_embedding"] = p[f"visual{SEP}attnpool{SEP}positional_embedding"]
+        for name, dst_name in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("out", "c_proj")):
+            put_lin(f"visual.attnpool.{dst_name}", f"visual{SEP}attnpool{SEP}{name}")
+    else:
+        sd["visual.conv1.weight"] = np.transpose(p[f"visual{SEP}conv1{SEP}kernel"], (3, 2, 0, 1))
+        sd["visual.class_embedding"] = p[f"visual{SEP}class_embedding"]
+        sd["visual.positional_embedding"] = p[f"visual{SEP}positional_embedding"]
+        sd["visual.proj"] = p[f"visual{SEP}proj"]
+        put_ln("visual.ln_pre", f"visual{SEP}ln_pre")
+        put_ln("visual.ln_post", f"visual{SEP}ln_post")
+        for i in range(cfg.vision.layers):
+            put_block(f"visual.transformer.resblocks.{i}", f"visual{SEP}blocks{SEP}{i}", cfg.vision.width)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# native checkpoint format (.npz + JSON extras)
+
+
+def save_native(path: str, params, state, extras: Optional[dict] = None) -> None:
+    """Atomic save of param/state pytrees to a single .npz file."""
+    flat = {"params" + SEP + k: v for k, v in flatten_pytree(jax.device_get(params)).items()}
+    flat.update({"state" + SEP + k: v for k, v in flatten_pytree(jax.device_get(state)).items()})
+    header = json.dumps(extras or {})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, __extras__=np.frombuffer(header.encode(), dtype=np.uint8), **flat)
+    os.replace(tmp, path)
+
+
+def load_native(path: str, model=None, params=None, state=None):
+    """Load a native checkpoint. With (model, params, state) given, returns
+    pytrees matching the model structure; otherwise returns flat dicts."""
+    with np.load(path) as npz:
+        flat = {k: npz[k] for k in npz.files}
+    extras = {}
+    if "__extras__" in flat:
+        extras = json.loads(flat.pop("__extras__").tobytes().decode())
+    pflat = {k[len("params") + 1 :]: v for k, v in flat.items() if k.startswith("params" + SEP)}
+    sflat = {k[len("state") + 1 :]: v for k, v in flat.items() if k.startswith("state" + SEP)}
+    if params is not None:
+        params = unflatten_into(params, pflat)
+        state = unflatten_into(state, sflat) if sflat else state
+        return params, state, extras
+    return pflat, sflat, extras
+
+
+def load_checkpoint(path: str, model, params, state) -> Tuple[Dict, Dict]:
+    """Dispatch on file type: torch .pt / native .npz."""
+    if path.endswith(".npz"):
+        params, state, _ = load_native(path, model, params, state)
+        return params, state
+    sd = _load_torch_state_dict(path)
+    return open_clip_state_dict_to_pytrees(sd, model)
+
+
+def save_open_clip_checkpoint(path: str, model, params, state, *, epoch: int = 0, name: str = "") -> None:
+    """Export to the reference torch checkpoint format (requires torch)."""
+    import torch
+
+    sd = pytrees_to_open_clip_state_dict(model, params, state)
+    ckpt = {
+        "epoch": epoch,
+        "name": name,
+        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+    }
+    tmp = path + ".tmp"
+    torch.save(ckpt, tmp)
+    os.replace(tmp, path)

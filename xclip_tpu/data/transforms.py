@@ -1,0 +1,132 @@
+"""Host-side image preprocessing -> NHWC float32 numpy.
+
+Reference behaviour: deps/open_clip/src/open_clip/transform.py:274-391 —
+train = RandomResizedCrop(scale 0.9-1.0, bicubic) + normalize; val =
+Resize(shortest side, bicubic) + CenterCrop + normalize, with the OpenAI
+mean/std (deps/open_clip/src/open_clip/constants.py:1-2).
+
+This runs on the host CPU (PIL decode + resize); the device only ever sees
+ready NHWC float tensors. NHWC is the TPU-native conv layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessCfg:
+    size: int = 224
+    mean: Tuple[float, float, float] = OPENAI_DATASET_MEAN
+    std: Tuple[float, float, float] = OPENAI_DATASET_STD
+    interpolation: str = "bicubic"
+    resize_mode: str = "shortest"
+
+
+_PIL_INTERP = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR, "nearest": Image.NEAREST}
+
+
+def _to_rgb(img: Image.Image) -> Image.Image:
+    return img.convert("RGB") if img.mode != "RGB" else img
+
+
+def normalize(arr: np.ndarray, mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD) -> np.ndarray:
+    """uint8/float HWC -> normalized float32 HWC."""
+    arr = arr.astype(np.float32) / 255.0 if arr.dtype == np.uint8 else arr.astype(np.float32)
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    *,
+    scale: Tuple[float, float] = (0.9, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    interpolation: str = "bicubic",
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """torchvision-equivalent RandomResizedCrop sampling."""
+    rng = rng or random
+    width, height = img.size
+    area = width * height
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            i = rng.randint(0, height - h)
+            j = rng.randint(0, width - w)
+            return img.resize((size, size), _PIL_INTERP[interpolation], box=(j, i, j + w, i + h))
+    # fallback: center crop to in-range aspect
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        w, h = int(round(height * ratio[1])), height
+    else:
+        w, h = width, height
+    i, j = (height - h) // 2, (width - w) // 2
+    return img.resize((size, size), _PIL_INTERP[interpolation], box=(j, i, j + w, i + h))
+
+
+def resize_shortest(img: Image.Image, size: int, interpolation: str = "bicubic") -> Image.Image:
+    w, h = img.size
+    if w <= h:
+        new_w, new_h = size, max(1, int(round(size * h / w)))
+    else:
+        new_w, new_h = max(1, int(round(size * w / h))), size
+    return img.resize((new_w, new_h), _PIL_INTERP[interpolation])
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    if left < 0 or top < 0:  # pad if smaller (CenterCropOrPad semantics)
+        canvas = Image.new(img.mode, (max(w, size), max(h, size)))
+        canvas.paste(img, ((canvas.width - w) // 2, (canvas.height - h) // 2))
+        img, (w, h) = canvas, canvas.size
+        left = int(round((w - size) / 2.0))
+        top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+class ImageTransform:
+    """Callable PIL.Image -> float32 HWC array."""
+
+    def __init__(self, cfg: PreprocessCfg, is_train: bool, seed: Optional[int] = None):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.rng = random.Random(seed) if seed is not None else random
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = _to_rgb(img)
+        if self.is_train:
+            img = random_resized_crop(
+                img, self.cfg.size, interpolation=self.cfg.interpolation, rng=self.rng
+            )
+        else:
+            img = resize_shortest(img, self.cfg.size, self.cfg.interpolation)
+            img = center_crop(img, self.cfg.size)
+        return normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
+
+
+def image_transform(
+    image_size: int,
+    is_train: bool,
+    mean: Tuple[float, float, float] = OPENAI_DATASET_MEAN,
+    std: Tuple[float, float, float] = OPENAI_DATASET_STD,
+    seed: Optional[int] = None,
+) -> ImageTransform:
+    return ImageTransform(PreprocessCfg(size=image_size, mean=mean, std=std), is_train, seed)

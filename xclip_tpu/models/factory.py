@@ -1,0 +1,97 @@
+"""Model factory: JSON config registry + creation + pretrained loading.
+
+Mirrors the reference factory surface (deps/open_clip/src/open_clip/
+factory.py:33-54 config scan, :180-335 create_model, :375
+create_model_and_transforms) with a JAX-native result: ``create_model``
+returns ``(model, params, state)`` where params/state are pytrees.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from copy import deepcopy
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from xclip_tpu.core.precision import get_policy
+from xclip_tpu.models.clip import CLIPCfg, CLIPModel, clip_cfg_from_dict
+
+_CONFIG_DIR = pathlib.Path(__file__).parent / "configs"
+_MODEL_CONFIGS: Dict[str, dict] = {}
+
+
+def _rescan_model_configs() -> None:
+    _MODEL_CONFIGS.clear()
+    for path in sorted(_CONFIG_DIR.glob("*.json")):
+        with open(path) as fh:
+            cfg = json.load(fh)
+        if "embed_dim" in cfg and "vision_cfg" in cfg and "text_cfg" in cfg:
+            _MODEL_CONFIGS[path.stem] = cfg
+
+
+_rescan_model_configs()
+
+
+def list_models():
+    return list(_MODEL_CONFIGS)
+
+
+def get_model_config(model_name: str) -> Optional[dict]:
+    cfg = _MODEL_CONFIGS.get(model_name)
+    return deepcopy(cfg) if cfg is not None else None
+
+
+def get_clip_cfg(model_name: str, force_quick_gelu: bool = False) -> CLIPCfg:
+    cfg = get_model_config(model_name)
+    if cfg is None:
+        raise RuntimeError(f"Model config for {model_name} not found; available: {list_models()}")
+    quick_gelu = bool(cfg.pop("quick_gelu", False)) or force_quick_gelu
+    return clip_cfg_from_dict(cfg, quick_gelu=quick_gelu)
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    force_quick_gelu: bool = False,
+    seed: int = 0,
+) -> Tuple[CLIPModel, Dict, Dict]:
+    """Create a model. ``pretrained`` may be a path to a torch ``.pt``
+    open_clip/OpenAI checkpoint or an orbax/npz checkpoint saved by this
+    framework. Returns (model, params, state)."""
+    model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu))
+    params, state = model.init(jax.random.PRNGKey(seed))
+    if pretrained:
+        from xclip_tpu.core.checkpoint import load_checkpoint
+
+        params, state = load_checkpoint(pretrained, model, params, state)
+    policy = get_policy(precision)
+    if policy.param_dtype != params["logit_scale"].dtype:
+        params = jax.tree_util.tree_map(lambda p: p.astype(policy.param_dtype), params)
+    return model, params, state
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    force_quick_gelu: bool = False,
+    seed: int = 0,
+):
+    """Returns (model, params, state, preprocess_train, preprocess_val)."""
+    from xclip_tpu.data.transforms import image_transform
+
+    model, params, state = create_model(
+        model_name, pretrained=pretrained, precision=precision,
+        force_quick_gelu=force_quick_gelu, seed=seed,
+    )
+    image_size = model.cfg.image_size
+    return (
+        model,
+        params,
+        state,
+        image_transform(image_size, is_train=True),
+        image_transform(image_size, is_train=False),
+    )

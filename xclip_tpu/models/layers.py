@@ -1,0 +1,235 @@
+"""Functional neural-net primitives over plain param pytrees.
+
+Every layer is a pair of pure functions: ``*_init(rng, ...) -> params`` and
+``*_apply(params, x, ...) -> y``. Parameters follow JAX conventions —
+linear kernels are ``(in, out)``, conv kernels are HWIO, images are NHWC —
+which map directly onto the TPU MXU; the torch checkpoint bridge
+(xclip_tpu/core/checkpoint.py) performs the layout transposes.
+
+Norm layers compute in fp32 regardless of the activation dtype and cast back,
+matching the reference LayerNorm/LayerNormFp32 semantics
+(deps/open_clip/src/open_clip/transformer.py:15-30).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# activations
+
+
+def quick_gelu(x):
+    """x * sigmoid(1.702 x) — the activation OpenAI CLIP was trained with."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x):
+    # torch nn.GELU defaults to the exact (erf) formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT_FNS = {"gelu": gelu, "quick_gelu": quick_gelu, "relu": jax.nn.relu}
+
+
+# ---------------------------------------------------------------------------
+# linear
+
+
+def linear_init(rng, in_dim: int, out_dim: int, *, bias: bool = True, std: Optional[float] = None):
+    wkey, _ = jax.random.split(rng)
+    if std is None:
+        # torch nn.Linear default: U(-1/sqrt(in), 1/sqrt(in))
+        bound = 1.0 / np.sqrt(in_dim)
+        kernel = jax.random.uniform(wkey, (in_dim, out_dim), jnp.float32, -bound, bound)
+    else:
+        kernel = jax.random.normal(wkey, (in_dim, out_dim), jnp.float32) * std
+    params = {"kernel": kernel}
+    if bias:
+        params["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return params
+
+
+def linear_apply(params, x, *, dtype=None):
+    kernel = params["kernel"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# layer norm
+
+
+def layernorm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm_apply(params, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv2d (NHWC x HWIO)
+
+
+def conv_init(rng, in_ch: int, out_ch: int, kernel_size: int, *, bias: bool = False):
+    fan_in = in_ch * kernel_size * kernel_size
+    bound = 1.0 / np.sqrt(fan_in)
+    kernel = jax.random.uniform(
+        rng, (kernel_size, kernel_size, in_ch, out_ch), jnp.float32, -bound, bound
+    )
+    params = {"kernel": kernel}
+    if bias:
+        params["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return params
+
+
+def conv_apply(params, x, *, stride: int = 1, padding: int = 0, dtype=None):
+    kernel = params["kernel"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"]
+    return y.astype(x.dtype)
+
+
+def avg_pool(x, window: int):
+    """Non-overlapping average pool over NHWC spatial dims."""
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, window, window, 1),
+        padding="VALID",
+    )
+    return (y / float(window * window)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# batch norm (non-synced across devices, matching reference DDP default)
+
+
+def batchnorm_init(dim: int):
+    params = {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+    state = {"mean": jnp.zeros((dim,), jnp.float32), "var": jnp.ones((dim,), jnp.float32)}
+    return params, state
+
+
+def batchnorm_apply(
+    params,
+    state,
+    x,
+    *,
+    train: bool = False,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, dict]:
+    """BatchNorm over the channel (last) axis of NHWC inputs.
+
+    Training uses per-device batch statistics (the reference trains DDP
+    without SyncBatchNorm — training/main.py only syncs BN when
+    --force-sync-bn); inference uses running stats. Returns ``(y, new_state)``.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        n = np.prod([x.shape[a] for a in axes])
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(orig_dtype), new_state
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention
+
+def mha_init(rng, dim: int, *, num_heads: int, out_dim: Optional[int] = None, std: Optional[float] = None):
+    """Params for a torch-nn.MultiheadAttention-equivalent layer, stored as
+    separate q/k/v/out linears (the checkpoint bridge splits packed
+    in_proj_weight)."""
+    del num_heads
+    keys = jax.random.split(rng, 4)
+    std = std if std is not None else dim**-0.5
+    return {
+        "q": linear_init(keys[0], dim, dim, std=std),
+        "k": linear_init(keys[1], dim, dim, std=std),
+        "v": linear_init(keys[2], dim, dim, std=std),
+        "out": linear_init(keys[3], dim, out_dim or dim, std=std),
+    }
+
+
+def _split_heads(x, num_heads: int):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads)
+
+
+def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None):
+    """Scaled dot-product attention over (B, L, D) tensors.
+
+    ``mask`` is an additive float mask broadcastable to (B, H, Lq, Lk).
+    Softmax is computed in fp32 for stability; matmuls run in the input
+    dtype on the MXU with fp32 accumulation.
+    """
+    b, lq, d = q.shape
+    head_dim = d // num_heads
+    scale = head_dim**-0.5
+    qh = _split_heads(q, num_heads)  # B Lq H Dh
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, lq, d)
+
+
+def mha_apply(params, x, *, num_heads: int, mask: Optional[jnp.ndarray] = None, dtype=None):
+    """Self-attention with separate q/k/v projections + output projection."""
+    q = linear_apply(params["q"], x, dtype=dtype)
+    k = linear_apply(params["k"], x, dtype=dtype)
+    v = linear_apply(params["v"], x, dtype=dtype)
+    o = attention(q, k, v, num_heads=num_heads, mask=mask)
+    return linear_apply(params["out"], o, dtype=dtype)
+
+
+def causal_mask(length: int, dtype=jnp.float32):
+    """Additive causal mask: 0 on/below diagonal, -inf above."""
+    mask = jnp.triu(jnp.full((length, length), -jnp.inf, dtype), k=1)
+    return mask

@@ -1,0 +1,232 @@
+"""ModifiedResNet visual tower (RN50/RN101/RN50x4...) — TPU-native.
+
+Functional re-design of CLIP's anti-aliased ResNet (reference behaviour:
+deps/open_clip/src/open_clip/modified_resnet.py):
+
+- 3-conv stem with an average pool, then 4 bottleneck stages where strided
+  convs are replaced by avgpool+conv, and a final AttentionPool2d.
+- NHWC layout end to end (TPU conv layout); fp32 batch-norm with running
+  stats carried as an explicit state pytree; per-device batch statistics in
+  training (the reference default is DDP without SyncBatchNorm).
+- The forward pass is decomposed into named *stages* so any prefix/suffix of
+  the network can be run independently — the single mechanism behind
+  grad-checkpoint boundaries, CKA activation capture
+  (scripts/representational_analysis.py:237-259) and integrated-gradients
+  feature circuits (scripts/compute_circuits.py:159-204), replacing the
+  reference's nnsight hooks.
+- AttentionPool2d only computes the query for the mean token: the reference
+  runs full (HW+1)x(HW+1) attention and keeps row 0
+  (modified_resnet.py:68-92); attention output at position 0 depends only on
+  query 0, so this is numerically identical at ~1/50th the attention FLOPs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xclip_tpu.models import layers as L
+
+EXPANSION = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetCfg:
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    width: int = 64
+    output_dim: int = 1024
+    heads: int = 32
+    image_size: int = 224
+
+    @property
+    def embed_dim(self) -> int:
+        return self.width * 32
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // 32
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _bottleneck_init(rng, inplanes: int, planes: int, stride: int):
+    keys = jax.random.split(rng, 4)
+    params: Dict = {
+        "conv1": L.conv_init(keys[0], inplanes, planes, 1),
+        "conv2": L.conv_init(keys[1], planes, planes, 3),
+        "conv3": L.conv_init(keys[2], planes, planes * EXPANSION, 1),
+    }
+    state: Dict = {}
+    for i, dim in ((1, planes), (2, planes), (3, planes * EXPANSION)):
+        params[f"bn{i}"], state[f"bn{i}"] = L.batchnorm_init(dim)
+    # zero-init bn3 scale (reference init_parameters zeroes bn3.weight)
+    params["bn3"]["scale"] = jnp.zeros_like(params["bn3"]["scale"])
+    if stride > 1 or inplanes != planes * EXPANSION:
+        params["downsample"] = {"conv": L.conv_init(keys[3], inplanes, planes * EXPANSION, 1)}
+        params["downsample"]["bn"], state["downsample_bn"] = L.batchnorm_init(planes * EXPANSION)
+    return params, state
+
+
+def resnet_init(rng, cfg: ResNetCfg):
+    keys = jax.random.split(rng, 8)
+    w = cfg.width
+    params: Dict = {
+        "stem": {
+            "conv1": L.conv_init(keys[0], 3, w // 2, 3),
+            "conv2": L.conv_init(keys[1], w // 2, w // 2, 3),
+            "conv3": L.conv_init(keys[2], w // 2, w, 3),
+        }
+    }
+    state: Dict = {"stem": {}}
+    for i, dim in ((1, w // 2), (2, w // 2), (3, w)):
+        params["stem"][f"bn{i}"], state["stem"][f"bn{i}"] = L.batchnorm_init(dim)
+
+    inplanes = w
+    for stage_idx, (planes_mult, blocks) in enumerate(zip((1, 2, 4, 8), cfg.layers)):
+        planes = w * planes_mult
+        stride = 1 if stage_idx == 0 else 2
+        stage_params: List = []
+        stage_state: List = []
+        for b in range(blocks):
+            rng, sub = jax.random.split(rng)
+            p, s = _bottleneck_init(sub, inplanes, planes, stride if b == 0 else 1)
+            stage_params.append(p)
+            stage_state.append(s)
+            inplanes = planes * EXPANSION
+        params[f"layer{stage_idx + 1}"] = stage_params
+        state[f"layer{stage_idx + 1}"] = stage_state
+
+    embed_dim = cfg.embed_dim
+    std = embed_dim**-0.5
+    attn = L.mha_init(keys[4], embed_dim, num_heads=cfg.heads, out_dim=cfg.output_dim, std=std)
+    attn["positional_embedding"] = (
+        jax.random.normal(keys[5], (cfg.grid**2 + 1, embed_dim), jnp.float32) * std
+    )
+    params["attnpool"] = attn
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# stages
+
+
+def _stem_act(params, state, x, idx: int, *, stride: int, train: bool, dtype):
+    y = L.conv_apply(params["stem"][f"conv{idx}"], x, stride=stride, padding=1, dtype=dtype)
+    y, bn_state = L.batchnorm_apply(params["stem"][f"bn{idx}"], state["stem"][f"bn{idx}"], y, train=train)
+    return jax.nn.relu(y), {"stem": {f"bn{idx}": bn_state}}
+
+
+def _bottleneck_apply(params, state, x, *, stride: int, train: bool, dtype):
+    new_state: Dict = {}
+    out = L.conv_apply(params["conv1"], x, dtype=dtype)
+    out, new_state["bn1"] = L.batchnorm_apply(params["bn1"], state["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    out = L.conv_apply(params["conv2"], out, padding=1, dtype=dtype)
+    out, new_state["bn2"] = L.batchnorm_apply(params["bn2"], state["bn2"], out, train=train)
+    out = jax.nn.relu(out)
+    if stride > 1:
+        out = L.avg_pool(out, stride)
+    out = L.conv_apply(params["conv3"], out, dtype=dtype)
+    out, new_state["bn3"] = L.batchnorm_apply(params["bn3"], state["bn3"], out, train=train)
+
+    identity = x
+    if "downsample" in params:
+        identity = L.avg_pool(x, stride) if stride > 1 else x
+        identity = L.conv_apply(params["downsample"]["conv"], identity, dtype=dtype)
+        identity, new_state["downsample_bn"] = L.batchnorm_apply(
+            params["downsample"]["bn"], state["downsample_bn"], identity, train=train
+        )
+    return jax.nn.relu(out + identity), new_state
+
+
+def attnpool_apply(params, x, *, heads: int, dtype=None):
+    """AttentionPool2d over an NHWC feature map -> (B, output_dim)."""
+    b, h, w, c = x.shape
+    tokens = x.reshape(b, h * w, c)
+    mean_tok = jnp.mean(tokens.astype(jnp.float32), axis=1, keepdims=True).astype(x.dtype)
+    tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, HW+1, C)
+    pos = params["positional_embedding"].astype(tokens.dtype)
+    tokens = tokens + pos
+    # query only the mean token — output row 0 of full attention.
+    q = L.linear_apply(params["q"], tokens[:, :1], dtype=dtype)
+    k = L.linear_apply(params["k"], tokens, dtype=dtype)
+    v = L.linear_apply(params["v"], tokens, dtype=dtype)
+    o = L.attention(q, k, v, num_heads=heads)
+    return L.linear_apply(params["out"], o, dtype=dtype)[:, 0]
+
+
+def resnet_stage_names(cfg: ResNetCfg) -> List[str]:
+    """Names of the sequential stages of the network (the circuit/CKA submodule
+    granularity of the reference: stem act1-3 + avgpool, each bottleneck, attnpool)."""
+    names = ["stem.act1", "stem.act2", "stem.act3", "stem.avgpool"]
+    for i, blocks in enumerate(cfg.layers):
+        names += [f"layer{i + 1}.{b}" for b in range(blocks)]
+    names.append("attnpool")
+    return names
+
+
+def resnet_apply(
+    params,
+    state,
+    x,
+    cfg: ResNetCfg,
+    *,
+    train: bool = False,
+    dtype=None,
+    start: int = 0,
+    stop: Optional[int] = None,
+    capture: Optional[Sequence[str]] = None,
+    remat: bool = False,
+):
+    """Run stages ``start:stop`` of the network.
+
+    Returns ``(out, new_state, intermediates)`` where ``intermediates`` maps
+    captured stage names to their output activations. ``x`` is the input to
+    stage ``start`` (NHWC image for ``start=0``).
+    """
+    names = resnet_stage_names(cfg)
+    stop = len(names) if stop is None else stop
+    capture = set(capture or ())
+    inters: Dict[str, jnp.ndarray] = {}
+    new_state = jax.tree_util.tree_map(lambda s: s, state)  # shallow copyable pytree
+
+    def record(name, val):
+        if name in capture:
+            inters[name] = val
+
+    def maybe_remat(fn):
+        return jax.checkpoint(fn) if remat and train else fn
+
+    for idx in range(start, stop):
+        name = names[idx]
+        if name.startswith("stem.act"):
+            i = int(name[-1])
+            stride = 2 if i == 1 else 1
+            x, upd = _stem_act(params, state, x, i, stride=stride, train=train, dtype=dtype)
+            new_state["stem"][f"bn{i}"] = upd["stem"][f"bn{i}"]
+        elif name == "stem.avgpool":
+            x = L.avg_pool(x, 2)
+        elif name.startswith("layer"):
+            stage, block = name.split(".")
+            b = int(block)
+            stage_idx = int(stage[-1]) - 1
+            stride = 1 if stage_idx == 0 or b > 0 else 2
+            fn = maybe_remat(
+                lambda p, s, inp, _stride=stride: _bottleneck_apply(
+                    p, s, inp, stride=_stride, train=train, dtype=dtype
+                )
+            )
+            x, upd = fn(params[stage][b], state[stage][b], x)
+            new_state[stage][b] = upd
+        elif name == "attnpool":
+            x = attnpool_apply(params["attnpool"], x, heads=cfg.heads, dtype=dtype)
+        else:  # pragma: no cover
+            raise AssertionError(name)
+        record(name, x)
+
+    return x, new_state, inters

@@ -1,0 +1,267 @@
+"""Vision & text transformer towers — TPU-native functional implementation.
+
+Reference behaviour: deps/open_clip/src/open_clip/transformer.py
+(ResidualAttentionBlock :210, VisionTransformer :427, TextTransformer :661,
+text_global_pool :646). Pre-LN residual blocks; learnable class token and
+positional embeddings; argmax-EOT pooling for text. Blocks are exposed as
+named stages for capture/patching (same mechanism as the ResNet tower).
+
+TPU notes: all matmuls run through the MXU in the policy compute dtype with
+fp32 accumulation; LayerNorm is fp32. Grad-checkpointing wraps each residual
+block with jax.checkpoint (reference: transformer.py:353). Sequence lengths
+here are tiny (50/77 tokens) so attention is XLA-fused rather than a Pallas
+kernel; the Pallas flash path in xclip_tpu/ops/flash_attention.py is used
+when sequences are long enough to pay off.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xclip_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionTransformerCfg:
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    act: str = "gelu"  # or quick_gelu
+    pool_type: str = "tok"
+    final_ln_after_pool: bool = False
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextTransformerCfg:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    act: str = "gelu"
+    pool_type: str = "argmax"
+    no_causal_mask: bool = False
+
+
+# ---------------------------------------------------------------------------
+# residual attention block
+
+
+def block_init(rng, width: int, heads: int, mlp_ratio: float, *, layers_for_init: int = 12):
+    keys = jax.random.split(rng, 3)
+    mlp_width = int(width * mlp_ratio)
+    proj_std = (width**-0.5) * ((2 * layers_for_init) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    attn = L.mha_init(keys[0], width, num_heads=heads, std=width**-0.5)
+    attn["out"]["kernel"] = jax.random.normal(keys[1], attn["out"]["kernel"].shape) * proj_std
+    return {
+        "ln_1": L.layernorm_init(width),
+        "attn": attn,
+        "ln_2": L.layernorm_init(width),
+        "mlp": {
+            "c_fc": L.linear_init(keys[2], width, mlp_width, std=fc_std),
+            "c_proj": L.linear_init(jax.random.fold_in(keys[2], 1), mlp_width, width, std=proj_std),
+        },
+    }
+
+
+def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] = None, dtype=None):
+    act_fn = L.ACT_FNS[act]
+    y = L.layernorm_apply(params["ln_1"], x)
+    x = x + L.mha_apply(params["attn"], y, num_heads=heads, mask=mask, dtype=dtype)
+    y = L.layernorm_apply(params["ln_2"], x)
+    y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
+    y = act_fn(y)
+    y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
+    return x + y
+
+
+def _run_blocks(
+    blocks_params: List,
+    x,
+    *,
+    heads: int,
+    act: str,
+    mask: Optional[jnp.ndarray],
+    dtype,
+    prefix: str,
+    start: int,
+    stop: int,
+    capture: set,
+    inters: Dict,
+    remat: bool,
+):
+    for i in range(start, stop):
+        fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype)
+        if remat:
+            fn = jax.checkpoint(fn)
+        x = fn(blocks_params[i], x)
+        name = f"{prefix}.{i}"
+        if name in capture:
+            inters[name] = x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# vision transformer
+
+
+def vit_init(rng, cfg: VisionTransformerCfg):
+    keys = jax.random.split(rng, 6)
+    scale = cfg.width**-0.5
+    params: Dict = {
+        "conv1": L.conv_init(keys[0], 3, cfg.width, cfg.patch_size),
+        "class_embedding": scale * jax.random.normal(keys[1], (cfg.width,), jnp.float32),
+        "positional_embedding": scale * jax.random.normal(keys[2], (cfg.seq_len, cfg.width), jnp.float32),
+        "ln_pre": L.layernorm_init(cfg.width),
+        "blocks": [],
+        "ln_post": L.layernorm_init(cfg.width),
+        "proj": scale * jax.random.normal(keys[3], (cfg.width, cfg.output_dim), jnp.float32),
+    }
+    for _ in range(cfg.layers):
+        rng, sub = jax.random.split(rng)
+        params["blocks"].append(
+            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers)
+        )
+    return params
+
+
+def vit_stage_names(cfg: VisionTransformerCfg) -> List[str]:
+    return ["embed"] + [f"blocks.{i}" for i in range(cfg.layers)] + ["pool"]
+
+
+def vit_apply(
+    params,
+    x,
+    cfg: VisionTransformerCfg,
+    *,
+    dtype=None,
+    capture: Optional[Sequence[str]] = None,
+    remat: bool = False,
+    start: int = 0,
+    stop: Optional[int] = None,
+):
+    """Run ViT stages ``start:stop``; returns (out, intermediates)."""
+    n_stages = cfg.layers + 2
+    stop = n_stages if stop is None else stop
+    capture = set(capture or ())
+    inters: Dict[str, jnp.ndarray] = {}
+
+    if start == 0:
+        patches = L.conv_apply(params["conv1"], x, stride=cfg.patch_size, dtype=dtype)
+        b = patches.shape[0]
+        tokens = patches.reshape(b, cfg.grid * cfg.grid, cfg.width)
+        cls = jnp.broadcast_to(params["class_embedding"].astype(tokens.dtype), (b, 1, cfg.width))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        tokens = tokens + params["positional_embedding"].astype(tokens.dtype)
+        x = L.layernorm_apply(params["ln_pre"], tokens)
+        if "embed" in capture:
+            inters["embed"] = x
+        start = 1
+
+    blk_start, blk_stop = max(start - 1, 0), min(stop - 1, cfg.layers)
+    x = _run_blocks(
+        params["blocks"], x, heads=cfg.heads, act=cfg.act, mask=None, dtype=dtype,
+        prefix="blocks", start=blk_start, stop=blk_stop, capture=capture, inters=inters,
+        remat=remat,
+    )
+
+    if stop == n_stages:
+        if cfg.final_ln_after_pool:
+            pooled = x[:, 0] if cfg.pool_type == "tok" else jnp.mean(x[:, 1:], axis=1)
+            pooled = L.layernorm_apply(params["ln_post"], pooled)
+        else:
+            x = L.layernorm_apply(params["ln_post"], x)
+            pooled = x[:, 0] if cfg.pool_type == "tok" else jnp.mean(x[:, 1:], axis=1)
+        proj = params["proj"].astype(dtype) if dtype is not None else params["proj"]
+        pooled = jnp.dot(pooled.astype(proj.dtype), proj, preferred_element_type=jnp.float32)
+        if "pool" in capture:
+            inters["pool"] = pooled
+        x = pooled
+    return x, inters
+
+
+# ---------------------------------------------------------------------------
+# text transformer
+
+
+def text_init(rng, cfg: TextTransformerCfg):
+    keys = jax.random.split(rng, 4)
+    params: Dict = {
+        "token_embedding": 0.02 * jax.random.normal(keys[0], (cfg.vocab_size, cfg.width), jnp.float32),
+        "positional_embedding": 0.01 * jax.random.normal(keys[1], (cfg.context_length, cfg.width), jnp.float32),
+        "blocks": [],
+        "ln_final": L.layernorm_init(cfg.width),
+        "text_projection": (cfg.width**-0.5) * jax.random.normal(keys[2], (cfg.width, cfg.output_dim), jnp.float32),
+    }
+    for _ in range(cfg.layers):
+        rng, sub = jax.random.split(rng)
+        params["blocks"].append(
+            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers)
+        )
+    return params
+
+
+def text_global_pool(x, text_ids, pool_type: str = "argmax"):
+    if pool_type == "argmax":
+        # EOT token has the highest id in each sequence
+        eot_idx = jnp.argmax(text_ids, axis=-1)
+        return x[jnp.arange(x.shape[0]), eot_idx]
+    if pool_type == "first":
+        return x[:, 0]
+    if pool_type == "last":
+        return x[:, -1]
+    raise ValueError(pool_type)
+
+
+def text_apply(
+    params,
+    text_ids,
+    cfg: TextTransformerCfg,
+    *,
+    dtype=None,
+    capture: Optional[Sequence[str]] = None,
+    remat: bool = False,
+):
+    """Encode int token ids (B, L) -> (B, output_dim); returns (out, inters)."""
+    capture = set(capture or ())
+    inters: Dict[str, jnp.ndarray] = {}
+    emb_dtype = dtype or params["token_embedding"].dtype
+    x = params["token_embedding"][text_ids].astype(emb_dtype)
+    x = x + params["positional_embedding"][: x.shape[1]].astype(emb_dtype)
+    mask = None if cfg.no_causal_mask else L.causal_mask(x.shape[1])
+    if "embed" in capture:
+        inters["embed"] = x
+    x = _run_blocks(
+        params["blocks"], x, heads=cfg.heads, act=cfg.act, mask=mask, dtype=dtype,
+        prefix="blocks", start=0, stop=cfg.layers, capture=capture, inters=inters,
+        remat=remat,
+    )
+    x = L.layernorm_apply(params["ln_final"], x)
+    pooled = text_global_pool(x, text_ids, cfg.pool_type)
+    proj = params["text_projection"]
+    if dtype is not None:
+        proj = proj.astype(dtype)
+        pooled = pooled.astype(dtype)
+    pooled = jnp.dot(pooled, proj, preferred_element_type=jnp.float32)
+    if "pool" in capture:
+        inters["pool"] = pooled
+    return pooled, inters
