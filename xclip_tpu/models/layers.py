@@ -104,17 +104,19 @@ def conv_apply(params, x, *, stride: int = 1, padding: int = 0, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+    # no preferred_element_type: the MXU accumulates bf16 convs in fp32
+    # internally, and the conv transpose (backward) rule requires uniform
+    # operand dtypes.
     y = jax.lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "bias" in params:
-        y = y + params["bias"]
-    return y.astype(x.dtype)
+        y = y + params["bias"].astype(y.dtype)
+    return y
 
 
 def avg_pool(x, window: int):

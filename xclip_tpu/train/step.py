@@ -1,0 +1,200 @@
+"""The pjit/shard_map training step — THE hot loop.
+
+Reference behaviour: deps/open_clip/src/training/train.py:64-264
+(train_one_epoch): autocast forward -> ClipLoss -> backward -> grad clip ->
+AdamW step -> logit_scale clamp, with an optional gradient-accumulation path
+(:115-164) that caches features without grad and re-forwards each microbatch
+against the cached others as negatives, preserving full-batch negatives.
+
+TPU design: one compiled program per optimizer step. The per-device compute
+(encoders + local-loss row block) runs inside ``shard_map`` over the
+``('data',)`` mesh — BatchNorm uses per-device batch statistics exactly like
+the reference's non-synced DDP BN — with the feature all_gather and the grad
+``psum`` as the only collectives (both ride ICI). The optimizer update runs
+on replicated params inside the same jit. Grad accumulation is a
+``lax.scan`` over microbatches implementing the reference's cached-negatives
+algorithm. Rematerialisation (``--grad-checkpointing``) is `jax.checkpoint`
+per residual block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from xclip_tpu.parallel.mesh import DATA_AXIS
+from xclip_tpu.train.loss import clip_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepCfg:
+    precision: str = "bf16"
+    local_loss: bool = True
+    grad_checkpointing: bool = False
+    accum_freq: int = 1
+    grad_clip_norm: float = 0.0
+
+
+def _norm_tree(tree):
+    return optax.global_norm(tree)
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepCfg = TrainStepCfg(),
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature of the returned fn::
+
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+
+    ``batch`` is ``{"images": (accum*B, H, W, C), "texts": (accum*B, L)}``
+    host arrays sharded along the data axis; ``accum*B`` is the per-step
+    global batch (reference "effective batch").
+    """
+    from xclip_tpu.core.precision import get_policy
+
+    policy = get_policy(cfg.precision)
+    compute_dtype = policy.compute_dtype
+    accum = cfg.accum_freq
+
+    def forward(params, state, images, texts):
+        out = model.forward(
+            params,
+            images,
+            texts,
+            state=state,
+            train=True,
+            dtype=compute_dtype,
+            remat=cfg.grad_checkpointing,
+        )
+        return out["image_features"], out["text_features"], out["state"]
+
+    # ---- per-device loss+grad under shard_map -----------------------------
+    def local_grads(params, state, images, texts):
+        """images/texts: the per-device shard. Returns pmean'd grads."""
+
+        if accum == 1:
+
+            def loss_fn(p):
+                img_f, txt_f, new_state = forward(p, state, images, texts)
+                scale = jnp.exp(p["logit_scale"])
+                loss = clip_loss(
+                    img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
+                )
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        else:
+            # reference cached-negatives accumulation (train.py:115-164):
+            # phase 1 — no-grad forward caching features for all microbatches
+            b_micro = images.shape[0] // accum
+            images_m = images.reshape(accum, b_micro, *images.shape[1:])
+            texts_m = texts.reshape(accum, b_micro, *texts.shape[1:])
+
+            def cache_one(carry_state, batch_j):
+                imgs, txts = batch_j
+                img_f, txt_f, new_s = forward(params, carry_state, imgs, txts)
+                return new_s, (img_f, txt_f)
+
+            _, (cached_img, cached_txt) = jax.lax.scan(cache_one, state, (images_m, texts_m))
+            cached_img = jax.lax.stop_gradient(cached_img)  # (accum, b, E)
+            cached_txt = jax.lax.stop_gradient(cached_txt)
+
+            # phase 2 — per microbatch, re-forward with grad; other
+            # microbatches participate as constant negatives.
+            def micro(carry, xs):
+                g_acc, loss_acc, state_c = carry
+                j, imgs, txts = xs
+
+                def loss_fn(p):
+                    img_f, txt_f, new_s = forward(p, state_c, imgs, txts)
+                    all_img = jax.lax.dynamic_update_index_in_dim(cached_img, img_f, j, 0)
+                    all_txt = jax.lax.dynamic_update_index_in_dim(cached_txt, txt_f, j, 0)
+                    all_img = all_img.reshape(accum * b_micro, -1)
+                    all_txt = all_txt.reshape(accum * b_micro, -1)
+                    scale = jnp.exp(p["logit_scale"])
+                    loss = clip_loss(
+                        all_img, all_txt, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
+                    )
+                    return loss, new_s
+
+                (loss_j, new_state), g_j = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_j)
+                return (g_acc, loss_acc + loss_j, new_state), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            js = jnp.arange(accum)
+            (grads, loss_sum, new_state), _ = jax.lax.scan(
+                micro, (zeros, 0.0, state), (js, images_m, texts_m)
+            )
+            loss = loss_sum / accum
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        # keep BN running stats identical across replicas
+        new_state = jax.lax.pmean(new_state, DATA_AXIS)
+        return loss, grads, new_state
+
+    local_grads_sharded = shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+
+    )
+
+    def step(params, state, opt_state, batch):
+        loss, grads, new_state = local_grads_sharded(
+            params, state, batch["images"], batch["texts"]
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # ln(100) clamp, reference train.py:190-191
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0, jnp.log(100.0))
+        metrics = {
+            "loss": loss,
+            "grad_norm": _norm_tree(grads),
+            "logit_scale": jnp.exp(new_params["logit_scale"]),
+        }
+        return new_params, new_state, new_opt_state, metrics
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = {"images": NamedSharding(mesh, P(DATA_AXIS)), "texts": NamedSharding(mesh, P(DATA_AXIS))}
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, replicated, batch_sharded),
+        out_shardings=(replicated, replicated, replicated, replicated),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_eval_features_fn(model, mesh: Optional[Mesh] = None, precision: str = "fp32"):
+    """Jitted normalized-feature extraction (eval hot loop:
+    scripts/evaluate_domainnet_lso_openai.py:27-35)."""
+    from xclip_tpu.core.precision import get_policy
+
+    dtype = get_policy(precision).compute_dtype
+
+    @functools.partial(jax.jit, static_argnames=())
+    def encode_images(params, state, images):
+        feats, _, _ = model.encode_image(params, images, state=state, normalize=True, dtype=dtype)
+        return feats
+
+    @jax.jit
+    def encode_texts(params, texts):
+        feats, _ = model.encode_text(params, texts, normalize=True, dtype=dtype)
+        return feats
+
+    return encode_images, encode_texts
