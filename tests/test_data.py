@@ -1,0 +1,146 @@
+"""Data-layer tests: transforms, TSV datasets, DomainNet semantics, loader
+ordering/sharding/prefetch, synthetic smoke data."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from xclip_tpu.data.datasets import (
+    DomainNetCaptions,
+    ImageNet,
+    SyntheticDataset,
+    TsvDataset,
+)
+from xclip_tpu.data.loader import DataLoader, default_collate, tokenizing_collate
+from xclip_tpu.data.transforms import (
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+    image_transform,
+)
+from xclip_tpu.tokenizer import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    """A tiny ImageNet-style tree + DomainNet TSVs."""
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    # imagenet: 3 classes x 4 val images
+    for split in ("train", "val"):
+        for ci in range(3):
+            d = root / "imagenet" / split / f"n{ci:08d}"
+            d.mkdir(parents=True)
+            for j in range(4):
+                Image.fromarray(rng.randint(0, 255, (40, 50, 3), np.uint8)).save(d / f"im{j}.jpg")
+    # domainnet: 2 domains x 2 classes
+    dn = root / "domainnet"
+    for domain in ("real", "sketch"):
+        rows = []
+        for ci, cls in enumerate(("banana", "candle")):
+            d = dn / domain / cls
+            d.mkdir(parents=True)
+            for j in range(3):
+                p = d / f"{j}.jpg"
+                Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(p)
+                rows.append(f"{domain}/{cls}/{j}.jpg\t{ci}\ta photo of a {cls}.")
+        for split in ("train", "test"):
+            (dn / f"{domain}_{split}.tsv").write_text("\n".join(rows) + "\n")
+    return root
+
+
+def test_image_transform_val_shape():
+    tf = image_transform(32, is_train=False)
+    img = Image.fromarray(np.zeros((48, 64, 3), np.uint8))
+    out = tf(img)
+    assert out.shape == (32, 32, 3)
+    expected = (0.0 - np.array(OPENAI_DATASET_MEAN)) / np.array(OPENAI_DATASET_STD)
+    np.testing.assert_allclose(out[0, 0], expected, atol=1e-5)
+
+
+def test_image_transform_train_shape():
+    tf = image_transform(32, is_train=True, seed=0)
+    img = Image.fromarray(np.random.RandomState(0).randint(0, 255, (64, 80, 3), np.uint8))
+    assert tf(img).shape == (32, 32, 3)
+
+
+def test_imagenet_dataset(image_tree):
+    tf = image_transform(16, is_train=False)
+    ds = ImageNet(str(image_tree / "imagenet"), split="val", transform=tf)
+    assert len(ds) == 12
+    img, label = ds[0]
+    assert img.shape == (16, 16, 3)
+    assert label == 0
+    # class subset remap
+    ds2 = ImageNet(str(image_tree / "imagenet"), split="val", transform=tf, class_idcs=[2])
+    assert len(ds2) == 4 and ds2[0][1] == 0
+
+
+MISSING = ["clipart", "infograph", "painting", "quickdraw"]
+
+
+def test_domainnet_captions(image_tree):
+    tf = image_transform(16, is_train=False)
+    ds = DomainNetCaptions(
+        str(image_tree / "domainnet"), "val", tf, exclude_domains=MISSING, mode="label+caption"
+    )
+    assert len(ds) == 12
+    assert ds.samples_per_domain["real"] == 6
+    img, label, caption = ds[0]
+    assert caption.startswith("a photo of a")
+    excl = DomainNetCaptions(
+        str(image_tree / "domainnet"), "val", tf, exclude_domains=MISSING + ["sketch"]
+    )
+    assert len(excl) == 6
+    filt = DomainNetCaptions(
+        str(image_tree / "domainnet"), "val", tf, exclude_domains=MISSING,
+        filter_classes={"real": {0}},
+    )
+    assert len(filt) == 9
+
+
+def test_domainnet_to_tsv_roundtrip(image_tree, tmp_path):
+    tf = image_transform(16, is_train=False)
+    ds = DomainNetCaptions(
+        str(image_tree / "domainnet"), "val", tf, exclude_domains=MISSING, mode="label+caption"
+    )
+    out = tmp_path / "out.tsv"
+    ds.to_tsv(str(out))
+    ds2 = TsvDataset(str(out), img_transform=tf)
+    assert len(ds2) == len(ds)
+    img, caption = ds2[0]
+    assert img.shape == (16, 16, 3)
+
+
+def test_loader_order_and_sharding(image_tree):
+    tf = image_transform(8, is_train=False)
+    ds = ImageNet(str(image_tree / "imagenet"), split="val", transform=tf)
+    loader = DataLoader(ds, batch_size=5)
+    batches = list(loader)
+    assert len(batches) == 3
+    labels = np.concatenate([b[1] for b in batches])
+    np.testing.assert_array_equal(labels, ds.targets)
+    # sharded loaders partition the data
+    l0 = DataLoader(ds, batch_size=4, rank=0, world_size=2)
+    l1 = DataLoader(ds, batch_size=4, rank=1, world_size=2)
+    n = sum(len(b[1]) for b in l0) + sum(len(b[1]) for b in l1)
+    assert n == len(ds)
+    # shuffle determinism
+    la = DataLoader(ds, batch_size=12, shuffle=True, seed=3)
+    lb = DataLoader(ds, batch_size=12, shuffle=True, seed=3)
+    np.testing.assert_array_equal(next(iter(la))[1], next(iter(lb))[1])
+    lb.set_epoch(1)
+    assert not np.array_equal(next(iter(la))[1], next(iter(lb))[1])
+
+
+def test_synthetic_dataset_with_tokenizing_collate():
+    tok = SimpleTokenizer()
+    tf = image_transform(16, is_train=True, seed=0)
+    ds = SyntheticDataset(tf, image_size=16, dataset_size=10)
+    loader = DataLoader(ds, batch_size=4, collate=tokenizing_collate(tok), drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (4, 16, 16, 3)
+    assert batches[0]["texts"].shape == (4, 77)
+    assert batches[0]["texts"][0, 0] == tok.sot_token_id
