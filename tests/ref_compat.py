@@ -80,6 +80,59 @@ def install_stubs() -> None:
         _stub("timm.models.layers", Mlp=object, to_2tuple=lambda x: x)
 
 
+def install_sae_stubs() -> None:
+    """Stubs for the reference sparse_autoencoder package deps."""
+    import enum
+
+    if _missing("strenum"):
+        m = _stub("strenum")
+
+        class StrEnum(str, enum.Enum):
+            __str__ = str.__str__
+            __format__ = str.__format__
+
+            @staticmethod
+            def _generate_next_value_(name, start, count, last_values):
+                return name.lower()
+
+        for n in ("StrEnum", "LowercaseStrEnum", "SnakeCaseStrEnum", "UppercaseStrEnum"):
+            setattr(m, n, StrEnum)
+    if _missing("wandb"):
+        w = _stub("wandb", run=None, log=lambda *a, **k: None)
+        dt = _stub("wandb.data_types")
+        for n in ("Audio", "Bokeh", "Histogram", "Html", "Image", "Molecule",
+                  "Object3D", "Plotly", "Table", "Video", "WBTraceTree"):
+            setattr(dt, n, type(n, (), {"__init__": lambda self, *a, **k: None}))
+        w.data_types = dt
+        for n in ("Histogram", "Table", "Image", "Plot"):
+            setattr(w, n, getattr(dt, n, type(n, (), {"__init__": lambda self, *a, **k: None})))
+        w.plot = _stub("wandb.plot", line=None, bar=None)
+        w.sdk = _stub("wandb.sdk")
+    if _missing("datasets"):
+        _stub("datasets", Dataset=object, DatasetDict=object, IterableDataset=object,
+              load_dataset=None)
+    if _missing("transformer_lens"):
+        tl = _stub("transformer_lens", HookedTransformer=object)
+        tl.__path__ = []  # mark as package so submodule stubs resolve
+        _stub("transformer_lens.hook_points", HookPoint=object)
+        _stub("transformer_lens.utils", get_act_name=lambda *a, **k: "", get_device=lambda *a, **k: "cpu")
+    if _missing("transformers") is False:
+        pass
+
+
+SAE_SRC = f"{REFERENCE_ROOT}/deps/sparse_autoencoder"
+
+
+def import_reference_sae():
+    install_stubs()
+    install_sae_stubs()
+    if SAE_SRC not in sys.path:
+        sys.path.insert(0, SAE_SRC)
+    import sparse_autoencoder  # noqa: F401
+
+    return sparse_autoencoder
+
+
 def import_reference_open_clip():
     install_stubs()
     if OPEN_CLIP_SRC not in sys.path:

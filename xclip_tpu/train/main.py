@@ -1,0 +1,303 @@
+"""Training session orchestrator — the `training.main.main()` equivalent.
+
+Reference behaviour: deps/open_clip/src/training/main.py:71-503 — experiment
+naming, resume-latest scan, model + data construction, optimizer, per-epoch
+train/eval loop, checkpoint saving (epoch_{N}.pt, atomic epoch_latest.pt via
+tmp+os.replace, log-spaced step checkpoints) — and train.py:64-264
+(train_one_epoch with data/gpu/batch-time meters and samples/s logging).
+
+TPU differences: one process drives all local chips (no process-per-device),
+the train step is one pjit-compiled program (see train/step.py), there is no
+GradScaler, and checkpoints are written in the open_clip torch format by
+default so reference tooling can read them (--native-ckpt switches to .npz).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import math
+import os
+import re
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from xclip_tpu.data.datasets import SyntheticDataset, TsvDataset
+from xclip_tpu.data.loader import DataLoader, tokenizing_collate
+from xclip_tpu.models.factory import create_model_and_transforms
+from xclip_tpu.parallel.mesh import DistInfo, create_mesh
+from xclip_tpu.tokenizer import get_tokenizer
+from xclip_tpu.train import optim, schedule
+from xclip_tpu.train.evaluate import evaluate
+from xclip_tpu.train.params import parse_args
+from xclip_tpu.train.step import TrainStepCfg, make_train_step
+from xclip_tpu.utils.meters import AverageMeter, setup_logging
+
+LATEST_CHECKPOINT_NAME = "epoch_latest.pt"
+
+
+def natural_key(s):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def get_latest_checkpoint(path: str) -> Optional[str]:
+    files = glob.glob(os.path.join(path, "**/*.pt"), recursive=True)
+    files += glob.glob(os.path.join(path, "**/*.npz"), recursive=True)
+    if files:
+        return sorted(files, key=natural_key)[-1]
+    return None
+
+
+def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
+    data = {}
+    collate = tokenizing_collate(tokenizer)
+    dataset_type = args.dataset_type
+    if dataset_type == "auto" and args.train_data:
+        ext = args.train_data.split(".")[-1]
+        dataset_type = "csv" if ext in ("csv", "tsv") else "synthetic"
+
+    info = DistInfo.current()
+    if args.train_data and dataset_type in ("csv", "tsv"):
+        ds = TsvDataset(args.train_data, img_transform=preprocess_train)
+        # per-step batch across all local devices (reference --batch-size is
+        # per device: effective = batch * accum * world)
+        data["train"] = DataLoader(
+            ds, args.batch_size * args.accum_freq * jax.device_count(),
+            shuffle=True, seed=args.seed, drop_last=True, num_threads=args.workers,
+            collate=collate,
+        )
+    elif dataset_type == "synthetic":
+        ds = SyntheticDataset(
+            preprocess_train,
+            image_size=preprocess_train.cfg.size,
+            dataset_size=args.train_num_samples or 100,
+        )
+        data["train"] = DataLoader(
+            ds, args.batch_size * args.accum_freq * jax.device_count(),
+            shuffle=True, seed=args.seed, drop_last=True, num_threads=args.workers,
+            collate=collate,
+        )
+    if args.val_data:
+        ds = TsvDataset(args.val_data, img_transform=preprocess_val)
+        data["val"] = DataLoader(ds, args.batch_size, num_threads=args.workers, collate=collate)
+    if args.imagenet_val:
+        from xclip_tpu.data.datasets import ImageNet
+
+        root = args.imagenet_val
+        split = "val"
+        if root.rstrip("/").endswith("val"):
+            root, split = os.path.dirname(root.rstrip("/")), "val"
+        ds = ImageNet(root, split=split, transform=preprocess_val)
+        data["imagenet-val"] = DataLoader(ds, args.batch_size, num_threads=args.workers)
+    return data
+
+
+def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag: str = "") -> None:
+    name = f"epoch_{epoch}{step_tag}"
+    if args.torch_compat_ckpt:
+        from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
+
+        save_open_clip_checkpoint(
+            os.path.join(args.checkpoint_path, f"{name}.pt"), model, params, state,
+            epoch=epoch, name=args.name,
+        )
+    else:
+        from xclip_tpu.core.checkpoint import save_native
+
+        save_native(
+            os.path.join(args.checkpoint_path, f"{name}.npz"), params, state,
+            extras={"epoch": epoch, "name": args.name},
+        )
+    if args.save_most_recent:
+        # atomic latest (reference main.py:478-483)
+        from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
+
+        tmp = os.path.join(args.checkpoint_path, "tmp.pt")
+        save_open_clip_checkpoint(tmp, model, params, state, epoch=epoch, name=args.name)
+        os.replace(tmp, os.path.join(args.checkpoint_path, LATEST_CHECKPOINT_NAME))
+
+
+def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info) -> tuple:
+    data["train"].set_epoch(epoch)
+    loader = data["train"]
+    num_batches_per_epoch = loader.num_batches
+    sample_digits = math.ceil(math.log10(loader.num_samples + 1))
+
+    losses_m = AverageMeter()
+    batch_time_m = AverageMeter()
+    data_time_m = AverageMeter()
+    gpu_time_m = AverageMeter()
+    end = time.time()
+
+    next_log_step = getattr(args, "next_log_ckpt_step", 0)
+
+    for i, batch in enumerate(loader):
+        step = num_batches_per_epoch * epoch + i
+        data_time_m.update(time.time() - end)
+        gpu_start = time.time()
+
+        params, state, opt_state, metrics = step_fn(params, state, opt_state, batch)
+        loss = float(metrics["loss"])  # hard sync
+
+        gpu_time_m.update(time.time() - gpu_start)
+        batch_time_m.update(time.time() - end)
+        end = time.time()
+        losses_m.update(loss, n=args.batch_size)
+
+        batch_count = i + 1
+        if batch_count % args.log_every_n_steps == 0 or batch_count == num_batches_per_epoch:
+            num_samples = batch_count * args.batch_size * args.accum_freq * info.world_size
+            samples_per_epoch = loader.num_samples
+            percent_complete = 100.0 * batch_count / num_batches_per_epoch
+            samples_per_second = args.accum_freq * args.batch_size * info.world_size / batch_time_m.val
+            samples_per_second_per_gpu = args.accum_freq * args.batch_size / batch_time_m.val
+            logging.info(
+                f"Train Epoch: {epoch} [{num_samples:>{sample_digits}}/{samples_per_epoch} ({percent_complete:.0f}%)] "
+                f"Loss: {losses_m.val:#.5g} ({losses_m.avg:#.4g}) "
+                f"Data (t): {data_time_m.avg:.3f} "
+                f"Batch (t): {batch_time_m.avg:.3f}, {samples_per_second:#g}/s, "
+                f"{samples_per_second_per_gpu:#g}/s/gpu "
+                f"Scale: {float(metrics['logit_scale']):.3f}"
+            )
+            batch_time_m.reset()
+            gpu_time_m.reset()
+            data_time_m.reset()
+
+        if args.save_logs and args.save_log_step and next_log_step and (
+            step >= next_log_step or batch_count == num_batches_per_epoch
+        ):
+            args.next_log_ckpt_step = next_log_step = next_log_step * 2
+            save_checkpoint(args, model, params, state, opt_state, epoch, step_tag=f"_step_{step}")
+
+    return params, state, opt_state
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    info = DistInfo.current()
+
+    if args.name is None:
+        model_name_safe = args.model.replace("/", "-")
+        date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+        args.name = "-".join([
+            date_str,
+            f"model_{model_name_safe}",
+            f"lr_{args.lr}",
+            f"b_{args.batch_size}",
+            f"j_{args.workers}",
+            f"p_{args.precision}",
+        ])
+
+    resume_latest = args.resume == "latest"
+    log_base_path = os.path.join(args.logs, args.name)
+    os.makedirs(log_base_path, exist_ok=True)
+    args.log_path = os.path.join(log_base_path, "out.log")
+    if os.path.exists(args.log_path) and not resume_latest:
+        print(f"Error. Experiment already exists. Use --name {args.name}-new to specify a new experiment.")
+        return -1
+
+    setup_logging(args.log_path, logging.DEBUG if args.debug else logging.INFO)
+    args.checkpoint_path = os.path.join(log_base_path, "checkpoints")
+    os.makedirs(args.checkpoint_path, exist_ok=True)
+    args.save_logs = True
+    args.tensorboard = "tensorboard" in args.report_to or "all" in args.report_to
+    args.next_log_ckpt_step = 1 if args.save_log_step else 0
+
+    if resume_latest:
+        args.resume = get_latest_checkpoint(args.checkpoint_path)
+        if args.resume:
+            logging.info(f"Found latest resume checkpoint at {args.resume}.")
+        else:
+            logging.info(f"No latest resume checkpoint found in {args.checkpoint_path}.")
+
+    logging.info(
+        f"Running on {jax.device_count()} device(s) ({jax.devices()[0].platform}); "
+        f"process {info.process_index}/{info.world_size // max(jax.local_device_count(), 1)}."
+    )
+
+    model, params, state, preprocess_train, preprocess_val = create_model_and_transforms(
+        args.model, pretrained=args.pretrained or None, precision="fp32",
+        force_quick_gelu=args.force_quick_gelu, seed=args.seed,
+    )
+    tokenizer = get_tokenizer(args.model)
+    data = get_data(args, preprocess_train, preprocess_val, tokenizer)
+    assert "train" in data or args.val_data, "no data"
+
+    start_epoch = 0
+    mesh = create_mesh()
+    opt_state = None
+    step_fn = None
+
+    if "train" in data:
+        total_steps = data["train"].num_batches * args.epochs
+        if args.lr_scheduler == "cosine":
+            sched = schedule.cosine_lr(args.lr, args.warmup, total_steps)
+        elif args.lr_scheduler == "const":
+            sched = schedule.const_lr(args.lr, args.warmup, total_steps)
+        else:
+            cooldown_steps = data["train"].num_batches * (args.epochs_cooldown or 0)
+            sched = schedule.const_lr_cooldown(
+                args.lr, args.warmup, total_steps, cooldown_steps,
+                args.lr_cooldown_power, args.lr_cooldown_end,
+            )
+        tx = optim.adamw(
+            sched, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+            weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm or 0.0,
+        )
+        opt_state = tx.init(params)
+        step_fn = make_train_step(
+            model, tx, mesh,
+            TrainStepCfg(
+                precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
+                local_loss=True,  # the TPU layout is always the local row-block
+                grad_checkpointing=args.grad_checkpointing,
+                accum_freq=args.accum_freq,
+            ),
+        )
+
+    if args.resume:
+        from xclip_tpu.core.checkpoint import load_checkpoint
+
+        params, state = load_checkpoint(args.resume, model, params, state)
+        m = re.search(r"epoch_(\d+)", os.path.basename(args.resume))
+        if m:
+            start_epoch = int(m.group(1))
+        logging.info(f"=> resuming checkpoint '{args.resume}' (epoch {start_epoch})")
+
+    if "train" not in data:
+        metrics = evaluate(model, params, state, data, start_epoch, args, tokenizer)
+        _append_results(args, metrics)
+        return 0
+
+    for epoch in range(start_epoch, args.epochs):
+        logging.info(f"Start epoch {epoch}")
+        params, state, opt_state = train_one_epoch(
+            model, step_fn, params, state, opt_state, data, epoch, args, info
+        )
+        completed_epoch = epoch + 1
+
+        if any(k in data for k in ("val", "imagenet-val", "imagenet-v2")):
+            metrics = evaluate(model, params, state, data, completed_epoch, args, tokenizer)
+            _append_results(args, metrics)
+
+        if args.save_logs and (
+            completed_epoch == args.epochs or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)
+        ):
+            save_checkpoint(args, model, params, state, opt_state, completed_epoch)
+
+    return 0
+
+
+def _append_results(args, metrics: Dict) -> None:
+    if metrics and args.save_logs:
+        with open(os.path.join(args.checkpoint_path, "results.jsonl"), "a+") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

