@@ -1,0 +1,6 @@
+"""Shared CLI bootstrap for xclip_tpu scripts."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
