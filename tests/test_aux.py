@@ -1,0 +1,214 @@
+"""Auxiliary subsystems: tar-shard pipeline (webdataset equivalent), SAE
+metrics, profiler, memory monitor, supervised classifier."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xclip_tpu.data.wds import (
+    ResampledShards,
+    WebDatasetReader,
+    expand_urls,
+    group_by_keys_nothrow,
+)
+from xclip_tpu.sae import metrics as sae_metrics
+from xclip_tpu.utils.monitor import get_memory_stats
+from xclip_tpu.utils.profiler import count_params, profile_model
+
+
+def _build_tar(path, n, prefix="sample", start=0, with_json=False, corrupt_one=False):
+    """Synthetic tar shards (the reference test pattern,
+    deps/open_clip/tests/test_wds.py:19-53)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(start)
+    with tarfile.open(path, "w") as tf:
+        for i in range(start, start + n):
+            img = Image.fromarray(rng.randint(0, 255, (24, 24, 3), np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            if corrupt_one and i == start:
+                data = data[: len(data) // 2]
+            info = tarfile.TarInfo(f"{prefix}{i:06d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            if with_json:
+                payload = ('{"caption": "caption %d", "url": "u"}' % i).encode()
+                info = tarfile.TarInfo(f"{prefix}{i:06d}.json")
+            else:
+                payload = f"caption {i}".encode()
+                info = tarfile.TarInfo(f"{prefix}{i:06d}.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+class TestWds:
+    def test_expand_urls(self):
+        assert expand_urls("s-{000..003}.tar") == [f"s-{i:03d}.tar" for i in range(4)]
+        assert expand_urls("a.tar::b.tar") == ["a.tar", "b.tar"]
+
+    def test_basic_iteration(self, tmp_path):
+        _build_tar(tmp_path / "shard-000.tar", 8)
+        _build_tar(tmp_path / "shard-001.tar", 8, start=8)
+        reader = WebDatasetReader(str(tmp_path / "shard-{000..001}.tar"))
+        samples = list(reader)
+        assert len(samples) == 16
+        assert samples[0]["image"].shape == (24, 24, 3)
+        assert samples[0]["text"].startswith("caption")
+
+    def test_corrupt_sample_skipped(self, tmp_path):
+        _build_tar(tmp_path / "bad.tar", 6, corrupt_one=True)
+        reader = WebDatasetReader(str(tmp_path / "bad.tar"))
+        samples = list(reader)
+        assert len(samples) == 5  # corrupt image dropped, stream continues
+
+    def test_json_captions(self, tmp_path):
+        _build_tar(tmp_path / "j.tar", 4, with_json=True)
+        reader = WebDatasetReader(str(tmp_path / "j.tar"), json_caption_key="caption")
+        samples = list(reader)
+        assert samples[0]["text"] == "caption 0"
+
+    def test_weighted_resampling_frequencies(self, tmp_path):
+        """Weighted shard upsampling within tolerance (reference
+        test_wds.py:80-130)."""
+        _build_tar(tmp_path / "a.tar", 4, prefix="a")
+        _build_tar(tmp_path / "b.tar", 4, prefix="b")
+        shards = ResampledShards(
+            [str(tmp_path / "a.tar"), str(tmp_path / "b.tar")], weights=[0.25, 0.75], seed=0
+        )
+        it = iter(shards)
+        picks = [next(it) for _ in range(2000)]
+        frac_b = sum("b.tar" in p for p in picks) / len(picks)
+        assert abs(frac_b - 0.75) < 0.05
+
+    def test_deterministic_shuffle_and_batching(self, tmp_path):
+        _build_tar(tmp_path / "s.tar", 12)
+        from xclip_tpu.tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer()
+        r1 = WebDatasetReader(str(tmp_path / "s.tar"), shuffle=True, seed=5, epoch=0)
+        r2 = WebDatasetReader(str(tmp_path / "s.tar"), shuffle=True, seed=5, epoch=0)
+        k1 = [s["__key__"] for s in r1]
+        assert k1 == [s["__key__"] for s in r2]
+        r2.set_epoch(1)
+        assert k1 != [s["__key__"] for s in r2]
+
+        batches = list(WebDatasetReader(str(tmp_path / "s.tar")).batched(4, tokenizer=tok))
+        assert len(batches) == 3
+        assert batches[0]["texts"].shape == (4, 77)
+
+
+class TestSAEMetrics:
+    def test_capacity_orthogonal(self):
+        feats = jnp.asarray(np.eye(3, dtype=np.float32)[:, None, :])
+        caps = sae_metrics.capacities(feats)
+        np.testing.assert_allclose(np.asarray(caps), [1.0, 1.0, 1.0])
+
+    def test_capacity_identical(self):
+        feats = jnp.ones((4, 1, 3), jnp.float32)
+        caps = sae_metrics.capacities(feats)
+        np.testing.assert_allclose(np.asarray(caps), 0.25 * np.ones(4), atol=1e-6)
+
+    def test_feature_density(self):
+        acts = jnp.asarray([[[0.5, 0.5, 0.0]], [[0.5, 0.0, 0.0001]]])
+        dens = sae_metrics.feature_density(acts, threshold=0.001)
+        np.testing.assert_allclose(np.asarray(dens), [[1.0, 0.5, 0.0]])
+
+    def test_l0(self):
+        acts = jnp.asarray([[1.0, 0.0, 2.0], [0.0, 0.0, 1.0]])
+        assert float(sae_metrics.l0_norm(acts)) == 1.5
+
+    def test_reconstruction_score(self):
+        out = sae_metrics.model_reconstruction_score(
+            np.array([2.0, 2.0, 2.0]), np.array([3.0, 3.0, 3.0]), np.array([5.0, 5.0, 5.0])
+        )
+        assert round(out["model_reconstruction_score"], 3) == 0.667
+
+
+def test_profiler_and_monitor():
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    cfg = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 8},
+        "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+    prof = profile_model(model, params, state)
+    assert prof["mparams"] > 0
+    assert count_params(params) == int(prof["mparams"] * 1e6)
+    stats = get_memory_stats()
+    assert isinstance(stats, list) and "memory.used" in stats[0]
+
+
+def test_supervised_classifier_smoke(tmp_path):
+    from xclip_tpu.parallel.mesh import create_mesh
+    from xclip_tpu.train.learner import (
+        Classifier,
+        ClassifierCfg,
+        classifier_predictions,
+        load_classifier,
+        make_classifier_train_step,
+        save_classifier,
+    )
+
+    # tiny RN backbone via a custom config registered on the fly
+    import xclip_tpu.models.factory as F
+
+    tiny = {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": [1, 1, 1, 1], "width": 8, "patch_size": None},
+        "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 16, "heads": 2, "layers": 1},
+    }
+    F._MODEL_CONFIGS["TinyRN"] = tiny
+
+    class TinyClassifierCfg(ClassifierCfg):
+        pass
+
+    cfg = ClassifierCfg(model="rn50-clip", num_classes=7, lr=0.01)
+    object.__setattr__(cfg, "model", "rn50-clip")
+    # monkeypatch backbone resolution to the tiny config
+    orig = ClassifierCfg.backbone_name
+    try:
+        ClassifierCfg.backbone_name = property(lambda self: "TinyRN")
+        ClassifierCfg.feature_dim = property(lambda self: 16)
+        model = Classifier(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        mesh = create_mesh()
+        step, tx = make_classifier_train_step(model, mesh, steps_per_epoch=2, precision="fp32")
+        opt_state = tx.init(params)
+        rng = np.random.RandomState(0)
+        for _ in range(2):
+            batch = {
+                "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+                "labels": rng.randint(0, 7, 16).astype(np.int32),
+            }
+            params, state, opt_state, metrics = step(params, state, opt_state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+        path = str(tmp_path / "clf.npz")
+        save_classifier(path, model, params, state, {"epoch": 1})
+        params2, state2, extras = load_classifier(path, model)
+        assert extras["epoch"] == 1
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                r = np.random.RandomState(i)
+                return r.randn(32, 32, 3).astype(np.float32), i % 7
+
+        out = classifier_predictions(model, params2, state2, DS(), batch_size=4, logit_slice=(2, 7))
+        assert out["pred"].shape == (10,)
+        assert out["pred"].max() < 5
+    finally:
+        ClassifierCfg.backbone_name = orig
