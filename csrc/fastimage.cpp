@@ -1,0 +1,223 @@
+// fastimage — native JPEG decode + crop + resize + normalize for the host
+// data pipeline.
+//
+// The reference's input hot path is torch DataLoader workers running
+// PIL decode -> torchvision RandomResizedCrop -> normalize
+// (deps/open_clip/src/training/data.py:35-53, open_clip/transform.py:274).
+// This extension fuses the whole per-sample pipeline into one C++ pass:
+// libjpeg decode (with DCT-domain prescaling: scale_denom lets us decode
+// directly to ~the crop resolution), bilinear crop+resize, and
+// mean/std normalization into a float32 HWC buffer. Exposed via the raw
+// CPython C API (no pybind11 in this image); see
+// xclip_tpu/data/fastimage.py for the Python wrapper and PIL fallback.
+
+#include <Python.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+#include <jpeglib.h>
+}
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG byte buffer to RGB. Uses libjpeg's scale_num/scale_denom to
+// decode at reduced resolution when the target is much smaller than the
+// source (large win: IDCT cost scales with output size).
+bool decode_jpeg(const uint8_t* data, size_t size, int min_dim_hint,
+                 std::vector<uint8_t>* out, int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+
+  if (min_dim_hint > 0) {
+    // choose the largest denominator that keeps min(dim) >= hint
+    int src_min = std::min<int>(cinfo.image_width, cinfo.image_height);
+    for (int denom : {8, 4, 2}) {
+      if (src_min / denom >= min_dim_hint) {
+        cinfo.scale_num = 1;
+        cinfo.scale_denom = denom;
+        break;
+      }
+    }
+  }
+
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  const int stride = cinfo.output_width * cinfo.output_components;
+  out->resize(static_cast<size_t>(stride) * cinfo.output_height);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  if (cinfo.output_components != 3) {
+    // expand grayscale to RGB
+    if (cinfo.output_components == 1) {
+      std::vector<uint8_t> rgb(static_cast<size_t>(*width) * *height * 3);
+      for (size_t i = 0; i < static_cast<size_t>(*width) * *height; ++i) {
+        rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = (*out)[i];
+      }
+      out->swap(rgb);
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+// Bilinear sample of crop box [y0, y0+ch) x [x0, x0+cw) resized to
+// out_h x out_w, normalized to (v/255 - mean)/std, float32 HWC output.
+void crop_resize_normalize(const uint8_t* src, int src_w, int src_h,
+                           double x0, double y0, double cw, double ch,
+                           int out_w, int out_h, const float* mean,
+                           const float* inv_std, float* dst) {
+  const double sx = cw / out_w;
+  const double sy = ch / out_h;
+  for (int oy = 0; oy < out_h; ++oy) {
+    // pixel-center mapping (matches PIL's affine convention closely)
+    double fy = y0 + (oy + 0.5) * sy - 0.5;
+    fy = std::min(std::max(fy, 0.0), static_cast<double>(src_h - 1));
+    int y1 = static_cast<int>(fy);
+    int y2 = std::min(y1 + 1, src_h - 1);
+    float wy = static_cast<float>(fy - y1);
+    for (int ox = 0; ox < out_w; ++ox) {
+      double fx = x0 + (ox + 0.5) * sx - 0.5;
+      fx = std::min(std::max(fx, 0.0), static_cast<double>(src_w - 1));
+      int x1 = static_cast<int>(fx);
+      int x2 = std::min(x1 + 1, src_w - 1);
+      float wx = static_cast<float>(fx - x1);
+      const uint8_t* p11 = src + (static_cast<size_t>(y1) * src_w + x1) * 3;
+      const uint8_t* p12 = src + (static_cast<size_t>(y1) * src_w + x2) * 3;
+      const uint8_t* p21 = src + (static_cast<size_t>(y2) * src_w + x1) * 3;
+      const uint8_t* p22 = src + (static_cast<size_t>(y2) * src_w + x2) * 3;
+      float* out_px = dst + (static_cast<size_t>(oy) * out_w + ox) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float top = p11[c] + wx * (p12[c] - p11[c]);
+        float bot = p21[c] + wx * (p22[c] - p21[c]);
+        float v = (top + wy * (bot - top)) * (1.0f / 255.0f);
+        out_px[c] = (v - mean[c]) * inv_std[c];
+      }
+    }
+  }
+}
+
+// decode_crop_resize(data: bytes, x0, y0, cw, ch, out_w, out_h,
+//                    mean3, std3) -> (bytes_f32_hwc, src_w, src_h)
+// Negative crop box => full image.
+PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  double x0, y0, cw, ch;
+  int out_w, out_h;
+  float mean[3], stdv[3];
+  if (!PyArg_ParseTuple(args, "y*ddddii(fff)(fff)", &buf, &x0, &y0, &cw, &ch,
+                        &out_w, &out_h, &mean[0], &mean[1], &mean[2],
+                        &stdv[0], &stdv[1], &stdv[2])) {
+    return nullptr;
+  }
+
+  std::vector<uint8_t> rgb;
+  int src_w = 0, src_h = 0;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  // decode hint: we never need more resolution than ~2x the output of the
+  // *relative* crop, but the crop box is given in source coords, so only
+  // prescale when the full image is used (crop box < 0).
+  int hint = (x0 < 0) ? std::max(out_w, out_h) * 2 : 0;
+  ok = decode_jpeg(static_cast<const uint8_t*>(buf.buf), buf.len, hint, &rgb,
+                   &src_w, &src_h);
+  Py_END_ALLOW_THREADS;
+  if (!ok) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "fastimage: JPEG decode failed");
+    return nullptr;
+  }
+  PyBuffer_Release(&buf);
+
+  if (x0 < 0) {  // full image
+    x0 = 0;
+    y0 = 0;
+    cw = src_w;
+    ch = src_h;
+  }
+  float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
+
+  PyObject* out_bytes =
+      PyBytes_FromStringAndSize(nullptr, static_cast<Py_ssize_t>(out_w) * out_h * 3 * 4);
+  if (!out_bytes) return nullptr;
+  float* dst = reinterpret_cast<float*>(PyBytes_AS_STRING(out_bytes));
+  Py_BEGIN_ALLOW_THREADS;
+  crop_resize_normalize(rgb.data(), src_w, src_h, x0, y0, cw, ch, out_w, out_h,
+                        mean, inv_std, dst);
+  Py_END_ALLOW_THREADS;
+  return Py_BuildValue("(Nii)", out_bytes, src_w, src_h);
+}
+
+// probe_size(data: bytes) -> (w, h): header-only size read for computing
+// RandomResizedCrop boxes before decoding.
+PyObject* py_probe_size(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "fastimage: bad JPEG header");
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, static_cast<uint8_t*>(buf.buf), buf.len);
+  jpeg_read_header(&cinfo, TRUE);
+  int w = cinfo.image_width, h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  PyBuffer_Release(&buf);
+  return Py_BuildValue("(ii)", w, h);
+}
+
+PyMethodDef methods[] = {
+    {"decode_crop_resize", py_decode_crop_resize, METH_VARARGS,
+     "JPEG decode + crop + bilinear resize + normalize -> float32 HWC bytes"},
+    {"probe_size", py_probe_size, METH_VARARGS, "JPEG header size probe"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef module = {PyModuleDef_HEAD_INIT, "_fastimage",
+                      "native JPEG decode/resize pipeline", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__fastimage(void) { return PyModule_Create(&module); }

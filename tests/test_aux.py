@@ -212,3 +212,63 @@ def test_supervised_classifier_smoke(tmp_path):
         assert out["pred"].max() < 5
     finally:
         ClassifierCfg.backbone_name = orig
+
+
+@pytest.mark.skipif(
+    not __import__("xclip_tpu.data.fastimage", fromlist=["HAVE_FASTIMAGE"]).HAVE_FASTIMAGE,
+    reason="fastimage extension not built (make -C csrc)",
+)
+class TestFastImage:
+    def _jpeg(self, w=640, h=480):
+        from PIL import Image
+
+        y, x = np.mgrid[0:h, 0:w]
+        arr = np.stack([x / w * 255, y / h * 255, 128 + 100 * np.sin(x / 40)], -1)
+        img = Image.fromarray(arr.clip(0, 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)
+        return buf.getvalue(), img
+
+    def test_eval_matches_pil_pipeline(self):
+        from xclip_tpu.data.fastimage import FastImageTransform
+        from xclip_tpu.data.transforms import image_transform
+
+        data, img = self._jpeg()
+        a = FastImageTransform(224, is_train=False)(data)
+        b = image_transform(224, is_train=False)(img)
+        assert a.shape == b.shape == (224, 224, 3)
+        assert np.abs(a - b).mean() < 0.05  # bilinear-vs-bicubic tolerance
+
+    def test_train_crop_shape_and_determinism(self):
+        from xclip_tpu.data.fastimage import FastImageTransform
+
+        data, _ = self._jpeg()
+        t1 = FastImageTransform(64, is_train=True, seed=3)
+        t2 = FastImageTransform(64, is_train=True, seed=3)
+        np.testing.assert_array_equal(t1(data), t2(data))
+
+    def test_corrupt_jpeg_raises_and_fallback(self, tmp_path):
+        from xclip_tpu.data.fastimage import FastFileTransform, FastImageTransform
+
+        data, img = self._jpeg()
+        # truncated JPEGs decode partially (libjpeg pads); garbage raises
+        with pytest.raises(ValueError):
+            FastImageTransform(64, is_train=False)(b"\x00" * 100)
+        # file-transform falls back to PIL for non-jpeg input
+        p = tmp_path / "x.png"
+        img.save(p)
+        out = FastFileTransform(32, is_train=False)(str(p))
+        assert out.shape == (32, 32, 3)
+
+    def test_dataset_integration(self, tmp_path):
+        from xclip_tpu.data.datasets import TsvDataset
+        from xclip_tpu.data.fastimage import FastFileTransform
+
+        data, img = self._jpeg(64, 64)
+        p = tmp_path / "img.jpg"
+        p.write_bytes(data)
+        tsv = tmp_path / "d.tsv"
+        tsv.write_text(f"filepath\ttitle\n{p}\ta caption\n")
+        ds = TsvDataset(str(tsv), img_transform=FastFileTransform(32, is_train=False))
+        arr, caption = ds[0]
+        assert arr.shape == (32, 32, 3) and caption == "a caption"

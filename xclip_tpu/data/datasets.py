@@ -257,7 +257,10 @@ class TsvDataset:
 
     def __getitem__(self, index: int):
         path, caption = self.samples[index]
-        img = self.img_transform(_open_rgb(path))
+        if getattr(self.img_transform, "wants_path", False):
+            img = self.img_transform(path)  # native decode path (fastimage)
+        else:
+            img = self.img_transform(_open_rgb(path))
         if not self.return_caption:
             return img
         if self.txt_transform:
