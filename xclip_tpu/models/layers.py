@@ -206,13 +206,21 @@ def _split_heads(x, num_heads: int):
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
-def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None):
+def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None,
+              impl: str = "einsum", causal: bool = False):
     """Scaled dot-product attention over (B, L, D) tensors.
 
     ``mask`` is an additive float mask broadcastable to (B, H, Lq, Lk).
     Softmax is computed in fp32 for stability; matmuls run in the input
-    dtype on the MXU with fp32 accumulation.
+    dtype on the MXU with fp32 accumulation. ``impl='flash'`` routes to the
+    Pallas online-softmax kernel (ops/flash_attention.py) — worthwhile for
+    long-sequence towers; ``causal`` only applies to the flash path (the
+    einsum path takes the mask directly).
     """
+    if impl == "flash" and (mask is None or causal):
+        from xclip_tpu.ops.flash_attention import flash_mha
+
+        return flash_mha(q, k, v, num_heads=num_heads, causal=causal)
     b, lq, d = q.shape
     head_dim = d // num_heads
     scale = head_dim**-0.5
@@ -228,12 +236,13 @@ def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None):
     return out.astype(q.dtype).reshape(b, lq, d)
 
 
-def mha_apply(params, x, *, num_heads: int, mask: Optional[jnp.ndarray] = None, dtype=None):
+def mha_apply(params, x, *, num_heads: int, mask: Optional[jnp.ndarray] = None, dtype=None,
+              impl: str = "einsum", causal: bool = False):
     """Self-attention with separate q/k/v projections + output projection."""
     q = linear_apply(params["q"], x, dtype=dtype)
     k = linear_apply(params["k"], x, dtype=dtype)
     v = linear_apply(params["v"], x, dtype=dtype)
-    o = attention(q, k, v, num_heads=num_heads, mask=mask)
+    o = attention(q, k, v, num_heads=num_heads, mask=mask, impl=impl, causal=causal)
     return linear_apply(params["out"], o, dtype=dtype)
 
 

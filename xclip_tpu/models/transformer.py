@@ -37,6 +37,7 @@ class VisionTransformerCfg:
     act: str = "gelu"  # or quick_gelu
     pool_type: str = "tok"
     final_ln_after_pool: bool = False
+    attention_impl: str = "einsum"  # 'flash' for the Pallas kernel (long seqs)
 
     @property
     def grid(self) -> int:
@@ -59,6 +60,7 @@ class TextTransformerCfg:
     act: str = "gelu"
     pool_type: str = "argmax"
     no_causal_mask: bool = False
+    attention_impl: str = "einsum"
 
 
 # ---------------------------------------------------------------------------
@@ -83,10 +85,12 @@ def block_init(rng, width: int, heads: int, mlp_ratio: float, *, layers_for_init
     }
 
 
-def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] = None, dtype=None):
+def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] = None, dtype=None,
+                attention_impl: str = "einsum", causal: bool = False):
     act_fn = L.ACT_FNS[act]
     y = L.layernorm_apply(params["ln_1"], x)
-    x = x + L.mha_apply(params["attn"], y, num_heads=heads, mask=mask, dtype=dtype)
+    x = x + L.mha_apply(params["attn"], y, num_heads=heads, mask=mask, dtype=dtype,
+                        impl=attention_impl, causal=causal)
     y = L.layernorm_apply(params["ln_2"], x)
     y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
     y = act_fn(y)
@@ -108,9 +112,12 @@ def _run_blocks(
     capture: set,
     inters: Dict,
     remat: bool,
+    attention_impl: str = "einsum",
+    causal: bool = False,
 ):
     for i in range(start, stop):
-        fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype)
+        fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype,
+                                        attention_impl=attention_impl, causal=causal)
         if remat:
             fn = jax.checkpoint(fn)
         x = fn(blocks_params[i], x)
@@ -181,7 +188,7 @@ def vit_apply(
     x = _run_blocks(
         params["blocks"], x, heads=cfg.heads, act=cfg.act, mask=None, dtype=dtype,
         prefix="blocks", start=blk_start, stop=blk_stop, capture=capture, inters=inters,
-        remat=remat,
+        remat=remat, attention_impl=cfg.attention_impl,
     )
 
     if stop == n_stages:
@@ -247,13 +254,15 @@ def text_apply(
     emb_dtype = dtype or params["token_embedding"].dtype
     x = params["token_embedding"][text_ids].astype(emb_dtype)
     x = x + params["positional_embedding"][: x.shape[1]].astype(emb_dtype)
-    mask = None if cfg.no_causal_mask else L.causal_mask(x.shape[1])
+    use_flash = cfg.attention_impl == "flash" and not cfg.no_causal_mask
+    mask = None if (cfg.no_causal_mask or use_flash) else L.causal_mask(x.shape[1])
     if "embed" in capture:
         inters["embed"] = x
     x = _run_blocks(
         params["blocks"], x, heads=cfg.heads, act=cfg.act, mask=mask, dtype=dtype,
         prefix="blocks", start=0, stop=cfg.layers, capture=capture, inters=inters,
-        remat=remat,
+        remat=remat, attention_impl=cfg.attention_impl,
+        causal=use_flash,
     )
     x = L.layernorm_apply(params["ln_final"], x)
     pooled = text_global_pool(x, text_ids, cfg.pool_type)
