@@ -30,7 +30,7 @@ def main():
     from xclip_tpu.train.step import TrainStepCfg, make_train_step
 
     model_name = os.environ.get("BENCH_MODEL", "RN50")
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "128"))
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
