@@ -1,0 +1,426 @@
+"""CoCa: contrastive captioner (vision tower + cls-token text tower +
+multimodal text decoder).
+
+Reference behaviour: deps/open_clip/src/open_clip/coca_model.py:79-473 and
+transformer.py — AttentionalPooler (:187-207, 256-query pooler whose output
+feeds both the contrastive head and the decoder's cross attention),
+TextTransformer with ``embed_cls`` (cls token appended at the end, pad
+positions masked, 'last' pooling with ln_final after pooling,
+transformer.py:759-801), MultimodalTransformer (self-attn + cross-attn block
+pairs, :805-898), CoCa forward with teacher-forcing labels (coca_model.py:
+158-190) and CoCaLoss (loss.py:134-177).
+
+Generation is a host loop over a jitted single-step decoder (greedy / top-k /
+top-p); sequences are right-padded so one compiled program serves all steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xclip_tpu.models import layers as L
+from xclip_tpu.models import transformer as T
+
+
+@dataclasses.dataclass(frozen=True)
+class MultimodalCfg:
+    context_length: int = 76
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512  # vocab projection handled by text_projection
+    act: str = "gelu"
+
+
+@dataclasses.dataclass(frozen=True)
+class CoCaCfg:
+    embed_dim: int
+    vision: T.VisionTransformerCfg
+    text: T.TextTransformerCfg
+    multimodal: MultimodalCfg
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    pad_id: int = 0
+    init_logit_scale: float = math.log(1 / 0.07)
+
+
+def coca_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CoCaCfg:
+    act = "quick_gelu" if quick_gelu else "gelu"
+    v, t, m = d["vision_cfg"], d["text_cfg"], d["multimodal_cfg"]
+    vision = T.VisionTransformerCfg(
+        image_size=v.get("image_size", 224), patch_size=v["patch_size"], width=v["width"],
+        layers=v["layers"], heads=v["width"] // v.get("head_width", 64),
+        output_dim=d["embed_dim"], act=act,
+    )
+    text = T.TextTransformerCfg(
+        context_length=t.get("context_length", 76), vocab_size=t.get("vocab_size", 49408),
+        width=t["width"], heads=t["heads"], layers=t["layers"], output_dim=d["embed_dim"], act=act,
+    )
+    multimodal = MultimodalCfg(
+        context_length=m.get("context_length", 76), width=m["width"], heads=m["heads"],
+        layers=m["layers"], mlp_ratio=m.get("mlp_ratio", 4.0), act=act,
+    )
+    return CoCaCfg(
+        embed_dim=d["embed_dim"], vision=vision, text=text, multimodal=multimodal,
+        attn_pooler_heads=v.get("attn_pooler_heads", 8),
+        attn_pooler_queries=v.get("attn_pooler_queries", 256),
+    )
+
+
+# ---------------------------------------------------------------------------
+# attentional pooler (transformer.py:187-207)
+
+
+def attn_pooler_init(rng, d_model: int, context_dim: int, n_queries: int):
+    keys = jax.random.split(rng, 5)
+    return {
+        "query": jax.random.normal(keys[0], (n_queries, d_model), jnp.float32),
+        "attn": {
+            "q": L.linear_init(keys[1], d_model, d_model),
+            "k": L.linear_init(keys[2], context_dim, d_model),
+            "v": L.linear_init(keys[3], context_dim, d_model),
+            "out": L.linear_init(keys[4], d_model, d_model),
+        },
+        "ln_q": L.layernorm_init(d_model),
+        "ln_k": L.layernorm_init(context_dim),
+    }
+
+
+def attn_pooler_apply(params, x, *, heads: int, dtype=None):
+    """x: (B, L, context_dim) -> (B, n_queries, d_model)."""
+    b = x.shape[0]
+    keys = L.layernorm_apply(params["ln_k"], x)
+    q_in = L.layernorm_apply(params["ln_q"], params["query"].astype(x.dtype))
+    q_in = jnp.broadcast_to(q_in[None], (b, *q_in.shape))
+    q = L.linear_apply(params["attn"]["q"], q_in, dtype=dtype)
+    k = L.linear_apply(params["attn"]["k"], keys, dtype=dtype)
+    v = L.linear_apply(params["attn"]["v"], keys, dtype=dtype)
+    o = L.attention(q, k, v, num_heads=heads)
+    return L.linear_apply(params["attn"]["out"], o, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# cross-attention residual block (ResidualAttentionBlock(is_cross_attention))
+
+
+def cross_block_init(rng, width: int, heads: int, mlp_ratio: float, layers_for_init: int):
+    params = T.block_init(rng, width, heads, mlp_ratio, layers_for_init=layers_for_init)
+    params["ln_1_kv"] = L.layernorm_init(width)
+    return params
+
+
+def cross_block_apply(params, x, kv, *, heads: int, act: str, dtype=None):
+    act_fn = L.ACT_FNS[act]
+    q_in = L.layernorm_apply(params["ln_1"], x)
+    kv_in = L.layernorm_apply(params["ln_1_kv"], kv)
+    q = L.linear_apply(params["attn"]["q"], q_in, dtype=dtype)
+    k = L.linear_apply(params["attn"]["k"], kv_in, dtype=dtype)
+    v = L.linear_apply(params["attn"]["v"], kv_in, dtype=dtype)
+    o = L.attention(q, k, v, num_heads=heads)
+    x = x + L.linear_apply(params["attn"]["out"], o, dtype=dtype)
+    y = L.layernorm_apply(params["ln_2"], x)
+    y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
+    y = act_fn(y)
+    y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
+    return x + y
+
+
+# ---------------------------------------------------------------------------
+# CoCa model
+
+
+class CoCaModel:
+    def __init__(self, cfg: CoCaCfg):
+        self.cfg = cfg
+
+    # -- init -----------------------------------------------------------------
+    def init(self, rng) -> Dict:
+        kv, kt, kd, kp, kp2, kc = jax.random.split(rng, 6)
+        cfg = self.cfg
+        visual = T.vit_init(kv, cfg.vision)
+        # attentional pooling replaces ln_post+tok pooling for the pooled path:
+        # pool_dim = output_dim (model.py:494-530)
+        visual["attn_pool"] = attn_pooler_init(
+            kp, cfg.embed_dim, cfg.vision.width, cfg.attn_pooler_queries
+        )
+        visual["ln_post"] = L.layernorm_init(cfg.embed_dim)
+        visual["proj"] = (cfg.embed_dim**-0.5) * jax.random.normal(
+            kp2, (cfg.embed_dim, cfg.embed_dim), jnp.float32
+        )
+
+        text = T.text_init(kt, cfg.text)
+        # embed_cls: one extra position + cls embedding (transformer.py:694-700)
+        text["cls_emb"] = 0.01 * jax.random.normal(kc, (cfg.text.width,), jnp.float32)
+        text["positional_embedding"] = 0.01 * jax.random.normal(
+            jax.random.fold_in(kt, 7), (cfg.text.context_length + 1, cfg.text.width), jnp.float32
+        )
+
+        mm = cfg.multimodal
+        decoder: Dict = {"blocks": [], "cross_blocks": []}
+        for _ in range(mm.layers):
+            kd, k1, k2 = jax.random.split(kd, 3)
+            decoder["blocks"].append(T.block_init(k1, mm.width, mm.heads, mm.mlp_ratio, layers_for_init=mm.layers))
+            decoder["cross_blocks"].append(cross_block_init(k2, mm.width, mm.heads, mm.mlp_ratio, mm.layers))
+        decoder["ln_final"] = L.layernorm_init(mm.width)
+        decoder["text_projection"] = (mm.width**-0.5) * jax.random.normal(
+            jax.random.fold_in(kd, 9), (mm.width, cfg.text.vocab_size), jnp.float32
+        )
+
+        return {
+            "visual": visual,
+            "text": text,
+            "text_decoder": decoder,
+            "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
+        }
+
+    # -- towers -----------------------------------------------------------------
+    def encode_image_with_tokens(self, params, images, *, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (normalized latent (B, E), pooled token embs (B, n_queries-? , E)).
+
+        Reference VisionTransformer with attn_pool (transformer.py:615-629):
+        x = attn_pool(transformer_out); ln_post; pooled = x[:,0],
+        tokens = x[:,1:]; latent = pooled @ proj.
+        """
+        cfg = self.cfg
+        tokens, _ = T.vit_apply(
+            params["visual"], images, cfg.vision, dtype=dtype,
+            stop=cfg.vision.layers + 1,  # stop before the default pooling stage
+        )
+        pooled_all = attn_pooler_apply(
+            params["visual"]["attn_pool"], tokens, heads=cfg.attn_pooler_heads, dtype=dtype
+        )
+        pooled_all = L.layernorm_apply(params["visual"]["ln_post"], pooled_all)
+        pooled, tok_embs = pooled_all[:, 0], pooled_all[:, 1:]
+        latent = jnp.dot(pooled.astype(jnp.float32), params["visual"]["proj"].astype(jnp.float32))
+        latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
+        return latent, tok_embs
+
+    def encode_text_with_tokens(self, params, text_ids, *, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """cls-token text tower (transformer.py:768-802): append cls emb,
+        causal mask + pad cls-mask, 'last' pooling, ln_final after pooling."""
+        cfg = self.cfg.text
+        p = params["text"]
+        emb_dtype = dtype or p["token_embedding"].dtype
+        x = p["token_embedding"][text_ids].astype(emb_dtype)
+        b, seq = x.shape[0], x.shape[1] + 1
+        cls = jnp.broadcast_to(p["cls_emb"].astype(emb_dtype), (b, 1, cfg.width))
+        x = jnp.concatenate([x, cls], axis=1)
+        x = x + p["positional_embedding"][:seq].astype(emb_dtype)
+
+        causal = L.causal_mask(seq)
+        # reference build_cls_mask (transformer.py:759-766): the key-visibility
+        # row is [True, text != pad] — i.e. shifted one right, with the first
+        # key always visible (exact reference semantics, quirks included).
+        pad_mask = jnp.concatenate([jnp.ones((b, 1), bool), text_ids != self.cfg.pad_id], axis=1)
+        additive = jnp.where(pad_mask[:, None, None, :], 0.0, -jnp.inf)
+        mask = causal + additive  # (B,1,L,L)
+
+        for blk in p["blocks"]:
+            x = T.block_apply(blk, x, heads=cfg.heads, act=cfg.act, mask=mask, dtype=dtype)
+        pooled, tokens = x[:, -1], x[:, :-1]
+        pooled = L.layernorm_apply(p["ln_final"], pooled)
+        latent = jnp.dot(pooled.astype(jnp.float32), p["text_projection"].astype(jnp.float32))
+        latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
+        return latent, tokens
+
+    def decode(self, params, image_embs, token_embs, *, dtype=None) -> jnp.ndarray:
+        """Multimodal decoder -> vocab logits (B, L, V)."""
+        mm = self.cfg.multimodal
+        d = params["text_decoder"]
+        seq = token_embs.shape[1]
+        mask = L.causal_mask(seq)
+        x = token_embs
+        for blk, xblk in zip(d["blocks"], d["cross_blocks"]):
+            x = T.block_apply(blk, x, heads=mm.heads, act=mm.act, mask=mask, dtype=dtype)
+            x = cross_block_apply(xblk, x, image_embs, heads=mm.heads, act=mm.act, dtype=dtype)
+        x = L.layernorm_apply(d["ln_final"], x)
+        return jnp.dot(x.astype(jnp.float32), d["text_projection"].astype(jnp.float32))
+
+    # -- joint forward -----------------------------------------------------------
+    def forward(self, params, images, text_ids, *, dtype=None, output_labels: bool = True) -> Dict:
+        image_latent, image_embs = self.encode_image_with_tokens(params, images, dtype=dtype)
+        text_latent, token_embs = self.encode_text_with_tokens(params, text_ids, dtype=dtype)
+        labels = text_ids[:, 1:] if output_labels else None
+        if output_labels:
+            token_embs = token_embs[:, :-1]
+        logits = self.decode(params, image_embs, token_embs, dtype=dtype)
+        out = {
+            "image_features": image_latent,
+            "text_features": text_latent,
+            "logits": logits,
+            "logit_scale": jnp.exp(params["logit_scale"]),
+        }
+        if labels is not None:
+            out["labels"] = labels
+        return out
+
+    # -- generation ---------------------------------------------------------------
+    def generate(
+        self,
+        params,
+        images,
+        *,
+        seq_len: int = 30,
+        sot_token_id: int = 49406,
+        eos_token_id: int = 49407,
+        pad_token_id: int = 0,
+        generation_type: str = "top_k",
+        top_k: int = 1,
+        top_p: float = 0.1,
+        temperature: float = 1.0,
+        min_seq_len: int = 5,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Autoregressive captioning (reference generate:192-305, top_k/top_p
+        paths; greedy == top_k=1). One jitted step serves every position."""
+        b = images.shape[0]
+        image_latent, image_embs = self.encode_image_with_tokens(params, images)
+
+        @jax.jit
+        def step_logits(p, img_embs, tokens):
+            _, token_embs = self.encode_text_with_tokens(p, tokens)
+            return self.decode(p, img_embs, token_embs)
+
+        rng = np.random.RandomState(seed)
+        out = np.full((b, seq_len), pad_token_id, np.int32)
+        out[:, 0] = sot_token_id
+        done = np.zeros(b, bool)
+        for pos in range(1, seq_len):
+            logits = np.asarray(step_logits(params, image_embs, jnp.asarray(out)))[:, pos - 1]
+            logits = logits / max(temperature, 1e-6)
+            if pos < min_seq_len:
+                logits[:, eos_token_id] = -1e30
+            if generation_type == "top_k":
+                kth = np.partition(logits, -top_k, axis=-1)[:, -top_k, None]
+                logits = np.where(logits < kth, -1e30, logits)
+            elif generation_type == "top_p":
+                sorted_idx = np.argsort(-logits, axis=-1)
+                sorted_logits = np.take_along_axis(logits, sorted_idx, axis=-1)
+                probs = np.exp(sorted_logits - sorted_logits.max(-1, keepdims=True))
+                probs /= probs.sum(-1, keepdims=True)
+                cum = np.cumsum(probs, axis=-1)
+                cutoff = cum > (1 - top_p)
+                cutoff[:, 0] = False
+                for row in range(b):
+                    logits[row, sorted_idx[row, cutoff[row]]] = -1e30
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            if top_k == 1 and generation_type == "top_k":
+                nxt = probs.argmax(-1)
+            else:
+                nxt = np.array([rng.choice(len(pr), p=pr) for pr in probs])
+            nxt = np.where(done, pad_token_id, nxt)
+            out[:, pos] = nxt
+            done |= nxt == eos_token_id
+            if done.all():
+                break
+        return out
+
+
+def coca_loss(
+    out: Dict,
+    *,
+    caption_loss_weight: float = 2.0,
+    clip_loss_weight: float = 1.0,
+    pad_id: int = 0,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict]:
+    """CoCaLoss (reference loss.py:134-177): weighted contrastive + caption
+    CE ignoring pad tokens."""
+    from xclip_tpu.train.loss import clip_loss
+
+    contrastive = 0.0
+    if clip_loss_weight:
+        contrastive = clip_loss_weight * clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"], axis_name=axis_name
+        )
+    logits, labels = out["logits"], out["labels"]
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != pad_id).astype(jnp.float32)
+    caption = caption_loss_weight * jnp.sum((logz - picked) * mask) / jnp.maximum(mask.sum(), 1.0)
+    return contrastive + caption, {"contrastive_loss": contrastive, "caption_loss": caption}
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint bridge (open_clip CoCa state dicts)
+
+
+def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Dict:
+    from xclip_tpu.core.checkpoint import (
+        SEP,
+        _lin,
+        _map_block,
+        _map_linear,
+        _map_ln,
+        _strip_prefix,
+        unflatten_into,
+    )
+
+    sd = _strip_prefix(dict(sd))
+    cfg = model.cfg
+    flat: Dict[str, np.ndarray] = {}
+
+    # visual ViT core
+    flat[f"visual{SEP}conv1{SEP}kernel"] = np.transpose(sd["visual.conv1.weight"], (2, 3, 1, 0))
+    flat[f"visual{SEP}class_embedding"] = sd["visual.class_embedding"]
+    flat[f"visual{SEP}positional_embedding"] = sd["visual.positional_embedding"]
+    _map_ln(flat, sd, f"visual{SEP}ln_pre", "visual.ln_pre")
+    for i in range(cfg.vision.layers):
+        _map_block(flat, sd, f"visual{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
+    _map_ln(flat, sd, f"visual{SEP}ln_post", "visual.ln_post")
+    flat[f"visual{SEP}proj"] = sd["visual.proj"]
+    # attentional pooler
+    ap = f"visual{SEP}attn_pool"
+    flat[f"{ap}{SEP}query"] = sd["visual.attn_pool.query"]
+    w = sd["visual.attn_pool.attn.in_proj_weight"]
+    b = sd["visual.attn_pool.attn.in_proj_bias"]
+    d = cfg.embed_dim
+    # torch MHA with kdim/vdim packs q (d,d) then k,v (d,context) — for CoCa
+    # kdim==vdim==width; in_proj is packed only when q/k/v dims match, else
+    # separate q/k/v weights exist
+    if "visual.attn_pool.attn.q_proj_weight" in sd:
+        flat[f"{ap}{SEP}attn{SEP}q{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.q_proj_weight"])
+        flat[f"{ap}{SEP}attn{SEP}k{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.k_proj_weight"])
+        flat[f"{ap}{SEP}attn{SEP}v{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.v_proj_weight"])
+        qb, kb, vb = np.split(b, 3)
+    else:
+        qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
+        flat[f"{ap}{SEP}attn{SEP}q{SEP}kernel"] = _lin(qw)
+        flat[f"{ap}{SEP}attn{SEP}k{SEP}kernel"] = _lin(kw)
+        flat[f"{ap}{SEP}attn{SEP}v{SEP}kernel"] = _lin(vw)
+        qb, kb, vb = np.split(b, 3)
+    flat[f"{ap}{SEP}attn{SEP}q{SEP}bias"] = qb
+    flat[f"{ap}{SEP}attn{SEP}k{SEP}bias"] = kb
+    flat[f"{ap}{SEP}attn{SEP}v{SEP}bias"] = vb
+    _map_linear(flat, sd, f"{ap}{SEP}attn{SEP}out", "visual.attn_pool.attn.out_proj")
+    _map_ln(flat, sd, f"{ap}{SEP}ln_q", "visual.attn_pool.ln_q")
+    _map_ln(flat, sd, f"{ap}{SEP}ln_k", "visual.attn_pool.ln_k")
+
+    # text tower (custom-text layout: text.*)
+    flat[f"text{SEP}token_embedding"] = sd["text.token_embedding.weight"]
+    flat[f"text{SEP}positional_embedding"] = sd["text.positional_embedding"]
+    flat[f"text{SEP}cls_emb"] = sd["text.cls_emb"]
+    flat[f"text{SEP}text_projection"] = sd["text.text_projection"]
+    _map_ln(flat, sd, f"text{SEP}ln_final", "text.ln_final")
+    for i in range(cfg.text.layers):
+        _map_block(flat, sd, f"text{SEP}blocks{SEP}{i}", f"text.transformer.resblocks.{i}", cfg.text.width)
+
+    # multimodal decoder
+    for i in range(cfg.multimodal.layers):
+        _map_block(flat, sd, f"text_decoder{SEP}blocks{SEP}{i}", f"text_decoder.resblocks.{i}", cfg.multimodal.width)
+        _map_block(flat, sd, f"text_decoder{SEP}cross_blocks{SEP}{i}", f"text_decoder.cross_attn.{i}", cfg.multimodal.width)
+        _map_ln(flat, sd, f"text_decoder{SEP}cross_blocks{SEP}{i}{SEP}ln_1_kv", f"text_decoder.cross_attn.{i}.ln_1_kv")
+    _map_ln(flat, sd, f"text_decoder{SEP}ln_final", "text_decoder.ln_final")
+    flat[f"text_decoder{SEP}text_projection"] = sd["text_decoder.text_projection"]
+    flat["logit_scale"] = np.asarray(sd["logit_scale"], np.float32).reshape(())
+
+    params0 = model.init(jax.random.PRNGKey(0))
+    return unflatten_into(params0, flat)

@@ -51,6 +51,31 @@ def get_clip_cfg(model_name: str, force_quick_gelu: bool = False) -> CLIPCfg:
     return clip_cfg_from_dict(cfg, quick_gelu=quick_gelu)
 
 
+def is_coca_model(model_name: str) -> bool:
+    cfg = get_model_config(model_name)
+    return cfg is not None and "multimodal_cfg" in cfg
+
+
+def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: int = 0):
+    """CoCa factory -> (CoCaModel, params). Reference checkpoints load via
+    the CoCa state-dict bridge."""
+    import jax as _jax
+
+    from xclip_tpu.models.coca import CoCaModel, coca_cfg_from_dict, coca_state_dict_to_params
+
+    cfg = get_model_config(model_name)
+    if cfg is None:
+        raise RuntimeError(f"Model config for {model_name} not found")
+    quick_gelu = bool(cfg.pop("quick_gelu", False))
+    model = CoCaModel(coca_cfg_from_dict(cfg, quick_gelu=quick_gelu))
+    params = model.init(_jax.random.PRNGKey(seed))
+    if pretrained:
+        from xclip_tpu.core.checkpoint import _load_torch_state_dict
+
+        params = coca_state_dict_to_params(_load_torch_state_dict(pretrained), model)
+    return model, params
+
+
 def create_model(
     model_name: str,
     pretrained: Optional[str] = None,
@@ -60,7 +85,8 @@ def create_model(
 ) -> Tuple[CLIPModel, Dict, Dict]:
     """Create a model. ``pretrained`` may be a path to a torch ``.pt``
     open_clip/OpenAI checkpoint or an orbax/npz checkpoint saved by this
-    framework. Returns (model, params, state)."""
+    framework. Returns (model, params, state). CoCa configs dispatch to
+    :func:`create_coca_model` (which returns (model, params))."""
     model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu))
     params, state = model.init(jax.random.PRNGKey(seed))
     if pretrained:
