@@ -188,3 +188,32 @@ def test_train_step_accum_smoke():
 
 def test_train_step_remat_smoke():
     _smoke_train(TINY_VIT, accum=1, grad_ckpt=True)
+
+
+def test_siglip_train_step_smoke():
+    """SigLIP model (logit_bias param) + sigmoid ring loss trains."""
+    import xclip_tpu.models.factory as F
+
+    cfg = {
+        "embed_dim": 32, "init_logit_scale": 2.302585, "init_logit_bias": -10.0,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 8},
+        "text_cfg": {"context_length": 16, "vocab_size": 512, "width": 32, "heads": 4,
+                     "layers": 2, "no_causal_mask": True, "pool_type": "last"},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert "logit_bias" in params
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 100), weight_decay=0.1)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32", siglip=True))
+    rng = np.random.RandomState(0)
+    losses = []
+    for _ in range(3):
+        batch = {
+            "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+            "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+        }
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))

@@ -254,6 +254,8 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
     for i in range(cfg.text.layers):
         _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"transformer.resblocks.{i}", cfg.text.width)
     pflat["logit_scale"] = np.asarray(sd["logit_scale"], np.float32).reshape(())
+    if "logit_bias" in sd:
+        pflat["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
 
     # --- vision tower ---
     if cfg.is_resnet:
@@ -339,6 +341,8 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     for i in range(cfg.text.layers):
         put_block(f"transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
     sd["logit_scale"] = p["logit_scale"].reshape(())
+    if "logit_bias" in p:
+        sd["logit_bias"] = p["logit_bias"].reshape(())
 
     if cfg.is_resnet:
         for i in (1, 2, 3):

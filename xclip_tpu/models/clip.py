@@ -34,6 +34,8 @@ class CLIPCfg:
     vision: Union[R.ResNetCfg, T.VisionTransformerCfg]
     text: T.TextTransformerCfg
     init_logit_scale: float = math.log(1 / 0.07)
+    # SigLIP-style bias; None = plain CLIP (reference model.py:250-254)
+    init_logit_bias: Optional[float] = None
 
     @property
     def is_resnet(self) -> bool:
@@ -51,6 +53,7 @@ class CLIPCfg:
 def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
     """Build a CLIPCfg from an open_clip-style JSON model config dict."""
     embed_dim = d["embed_dim"]
+    init_logit_bias = d.get("init_logit_bias")
     v = dict(d["vision_cfg"])
     t = dict(d["text_cfg"])
     act = "quick_gelu" if quick_gelu else "gelu"
@@ -86,7 +89,11 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
         act=act,
         no_causal_mask=t.get("no_causal_mask", False),
     )
-    return CLIPCfg(embed_dim=embed_dim, vision=vision, text=text)
+    kwargs = {}
+    if "init_logit_scale" in d:
+        kwargs["init_logit_scale"] = float(d["init_logit_scale"])
+    return CLIPCfg(embed_dim=embed_dim, vision=vision, text=text,
+                   init_logit_bias=init_logit_bias, **kwargs)
 
 
 def _l2_normalize(x, axis=-1, eps: float = 1e-12):
@@ -111,6 +118,8 @@ class CLIPModel:
             "text": T.text_init(kt, self.cfg.text),
             "logit_scale": jnp.asarray(self.cfg.init_logit_scale, jnp.float32),
         }
+        if self.cfg.init_logit_bias is not None:
+            params["logit_bias"] = jnp.asarray(self.cfg.init_logit_bias, jnp.float32)
         return params, {"visual": vstate}
 
     # -- towers ---------------------------------------------------------------
@@ -177,12 +186,15 @@ class CLIPModel:
             params, images, state=state, normalize=True, train=train, dtype=dtype, remat=remat
         )
         txt, _ = self.encode_text(params, text_ids, normalize=True, dtype=dtype, remat=remat)
-        return {
+        out = {
             "image_features": img,
             "text_features": txt,
             "logit_scale": jnp.exp(params["logit_scale"]),
             "state": new_state,
         }
+        if "logit_bias" in params:
+            out["logit_bias"] = params["logit_bias"]
+        return out
 
     def get_logits(self, params, images, text_ids, *, state: Optional[Dict] = None):
         out = self.forward(params, images, text_ids, state=state)

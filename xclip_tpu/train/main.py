@@ -257,6 +257,7 @@ def main(argv=None) -> int:
                 local_loss=True,  # the TPU layout is always the local row-block
                 grad_checkpointing=args.grad_checkpointing,
                 accum_freq=args.accum_freq,
+                siglip=args.siglip,
             ),
         )
 

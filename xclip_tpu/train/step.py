@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from xclip_tpu.parallel.mesh import DATA_AXIS
-from xclip_tpu.train.loss import clip_loss
+from xclip_tpu.train.loss import clip_loss, siglip_loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +40,7 @@ class TrainStepCfg:
     grad_checkpointing: bool = False
     accum_freq: int = 1
     grad_clip_norm: float = 0.0
+    siglip: bool = False  # sigmoid pairwise loss with ppermute ring
 
 
 def _norm_tree(tree):
@@ -89,9 +90,14 @@ def make_train_step(
             def loss_fn(p):
                 img_f, txt_f, new_state = forward(p, state, images, texts)
                 scale = jnp.exp(p["logit_scale"])
-                loss = clip_loss(
-                    img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
-                )
+                if cfg.siglip:
+                    loss = siglip_loss(
+                        img_f, txt_f, scale, p.get("logit_bias", 0.0), axis_name=DATA_AXIS
+                    )
+                else:
+                    loss = clip_loss(
+                        img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
+                    )
                 return loss, new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
