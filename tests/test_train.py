@@ -217,3 +217,43 @@ def test_siglip_train_step_smoke():
         params, state, opt_state, metrics = step(params, state, opt_state, batch)
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
+
+
+def test_pjit_zero_sharded_step():
+    """pjit global-math step with ZeRO param sharding trains and matches the
+    shard_map step's loss on the first step (ViT: no BN, so the two layouts
+    compute identical math)."""
+    from xclip_tpu.train.step_pjit import make_train_step_pjit, zero_sharding
+
+    model = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 100), weight_decay=0.1)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+
+    # shard_map reference loss on the same batch
+    ref_step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+    _, _, _, ref_metrics = ref_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params), state, tx.init(params), dict(batch)
+    )
+
+    params_sh = jax.device_put(params, zero_sharding(mesh, params))
+    opt_sh = jax.device_put(opt_state, zero_sharding(mesh, opt_state))
+    step = make_train_step_pjit(
+        model, tx, mesh, TrainStepCfg(precision="fp32"),
+        shard_params=True, example_params=params, example_opt_state=opt_state,
+    )
+    params2, state2, opt2, metrics = step(params_sh, state, opt_sh, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4)
+    # params actually sharded: at least one leaf has a non-trivial sharding
+    shardings = [x.sharding for x in jax.tree_util.tree_leaves(params2)]
+    assert any(not s.is_fully_replicated for s in shardings)
+    # second step runs on the sharded outputs
+    params2, state2, opt2, metrics = step(params2, state2, opt2, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -77,6 +77,7 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
             mlp_ratio=v.get("mlp_ratio", 4.0),
             output_dim=embed_dim,
             act=act,
+            patch_dropout=v.get("patch_dropout", 0.0),
         )
     text = T.TextTransformerCfg(
         context_length=t.get("context_length", 77),
@@ -134,6 +135,7 @@ class CLIPModel:
         dtype=None,
         capture: Optional[Sequence[str]] = None,
         remat: bool = False,
+        rng: Optional[jax.Array] = None,
     ):
         """Returns (features, new_state, intermediates)."""
         state = state if state is not None else {"visual": {}}
@@ -144,7 +146,8 @@ class CLIPModel:
             )
         else:
             feats, inters = T.vit_apply(
-                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture, remat=remat
+                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
+                remat=remat, train=train, rng=rng,
             )
             vstate = state["visual"]
         if normalize:

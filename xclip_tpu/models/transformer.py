@@ -38,6 +38,7 @@ class VisionTransformerCfg:
     pool_type: str = "tok"
     final_ln_after_pool: bool = False
     attention_impl: str = "einsum"  # 'flash' for the Pallas kernel (long seqs)
+    patch_dropout: float = 0.0  # fraction of patch tokens dropped in training
 
     @property
     def grid(self) -> int:
@@ -165,6 +166,8 @@ def vit_apply(
     remat: bool = False,
     start: int = 0,
     stop: Optional[int] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
 ):
     """Run ViT stages ``start:stop``; returns (out, intermediates)."""
     n_stages = cfg.layers + 2
@@ -179,6 +182,16 @@ def vit_apply(
         cls = jnp.broadcast_to(params["class_embedding"].astype(tokens.dtype), (b, 1, cfg.width))
         tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens = tokens + params["positional_embedding"].astype(tokens.dtype)
+        if train and cfg.patch_dropout > 0.0 and rng is not None:
+            # PatchDropout (reference transformer.py:49-86): keep a random
+            # subset of patch tokens per sample, cls token always kept
+            cls_tok, patches = tokens[:, :1], tokens[:, 1:]
+            n_tokens = patches.shape[1]
+            n_keep = max(1, int(n_tokens * (1.0 - cfg.patch_dropout)))
+            scores = jax.random.normal(rng, (tokens.shape[0], n_tokens))
+            keep = jnp.argsort(-scores, axis=-1)[:, :n_keep]
+            patches = jnp.take_along_axis(patches, keep[..., None], axis=1)
+            tokens = jnp.concatenate([cls_tok, patches], axis=1)
         x = L.layernorm_apply(params["ln_pre"], tokens)
         if "embed" in capture:
             inters["embed"] = x

@@ -66,6 +66,52 @@ def clip_loss(
     return (_cross_entropy(logits_per_image, wlabels) + _cross_entropy(logits_per_image.T, wlabels)) / 2
 
 
+def distill_clip_loss(
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    dist_image_features: jnp.ndarray,
+    dist_text_features: jnp.ndarray,
+    dist_logit_scale: jnp.ndarray,
+    *,
+    axis_name: Optional[str] = None,
+    local_loss: bool = True,
+):
+    """Contrastive + distillation loss (reference DistillClipLoss,
+    loss.py:180-216): CE to ground truth plus soft cross-entropy to the
+    teacher's logit distribution, both over the gathered global batch."""
+
+    def get_logits(img, txt, scale):
+        if axis_name is None:
+            return scale * img @ txt.T, scale * txt @ img.T
+        all_img = jax.lax.all_gather(img, axis_name, tiled=True)
+        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        if local_loss:
+            return scale * img @ all_txt.T, scale * txt @ all_img.T
+        lpi = scale * all_img @ all_txt.T
+        return lpi, lpi.T
+
+    def dist_loss(teacher_logits, student_logits):
+        t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=1)
+        s = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=1)
+        return -jnp.mean(jnp.sum(t * s, axis=1))
+
+    lpi, lpt = get_logits(image_features, text_features, logit_scale)
+    dlpi, dlpt = get_logits(
+        jax.lax.stop_gradient(dist_image_features),
+        jax.lax.stop_gradient(dist_text_features),
+        jax.lax.stop_gradient(dist_logit_scale),
+    )
+    b = lpi.shape[0]
+    if axis_name is not None and local_loss:
+        labels = jnp.arange(b) + jax.lax.axis_index(axis_name) * b
+    else:
+        labels = jnp.arange(b)
+    contrastive = (_cross_entropy(lpi, labels) + _cross_entropy(lpt, labels)) / 2
+    distill = (dist_loss(dlpi, lpi) + dist_loss(dlpt, lpt)) / 2
+    return contrastive, distill
+
+
 def siglip_loss(
     image_features: jnp.ndarray,
     text_features: jnp.ndarray,

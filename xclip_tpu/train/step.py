@@ -146,6 +146,7 @@ def make_train_step(
             )
             loss = loss_sum / accum
 
+        loss = jax.lax.pmean(loss, DATA_AXIS)  # global loss, not device-0's row block
         grads = jax.lax.pmean(grads, DATA_AXIS)
         # keep BN running stats identical across replicas
         new_state = jax.lax.pmean(new_state, DATA_AXIS)

@@ -1,0 +1,103 @@
+"""Alternative train step: pjit global math with optional ZeRO sharding.
+
+The shard_map step (train/step.py) is the reference-faithful default
+(per-device BN stats, explicit collectives). This variant writes the step as
+*global* math and lets XLA's SPMD partitioner place everything from sharding
+annotations — the idiomatic pjit style:
+
+- batch sharded over ('data',); XLA derives the all-gather for the logit
+  matrix and the grad reduce automatically;
+- ``shard_params=True`` additionally shards every large parameter (and its
+  Adam moments) over the same axis — ZeRO-3-style memory scaling, the TPU
+  equivalent of the reference's Lightning `fsdp` strategy flag
+  (scripts/train_combined_captions.py:140-145);
+- BatchNorm statistics become global-batch (synced-BN semantics — the
+  reference's --force-sync-bn / SyncBatchNorm path, training/main.py:293).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xclip_tpu.parallel.mesh import DATA_AXIS
+from xclip_tpu.train.loss import clip_loss
+from xclip_tpu.train.step import TrainStepCfg, _norm_tree
+
+
+def zero_sharding(mesh: Mesh, tree, min_size: int = 2**14):
+    """NamedSharding tree: leaves big enough and divisible on axis 0 are
+    sharded over the data axis (ZeRO param/optimizer partitioning); the rest
+    replicated."""
+    n = mesh.devices.size
+
+    def leaf_sharding(x):
+        shape = jnp.shape(x)
+        if len(shape) >= 1 and shape[0] % n == 0 and int(jnp.size(x)) >= min_size:
+            return NamedSharding(mesh, P(DATA_AXIS, *([None] * (len(shape) - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)
+
+
+def make_train_step_pjit(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepCfg = TrainStepCfg(),
+    *,
+    shard_params: bool = False,
+    example_params=None,
+    example_opt_state=None,
+) -> Callable:
+    """Build the pjit step. With ``shard_params`` the caller should
+    device_put params/opt_state with :func:`zero_sharding` (the returned
+    shardings are also used as in/out annotations)."""
+    from xclip_tpu.core.precision import get_policy
+
+    compute_dtype = get_policy(cfg.precision).compute_dtype
+
+    def step(params, state, opt_state, batch):
+        def loss_fn(p):
+            out = model.forward(
+                p, batch["images"], batch["texts"], state=state, train=True,
+                dtype=compute_dtype, remat=cfg.grad_checkpointing,
+            )
+            loss = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
+            return loss, out["state"]
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0, jnp.log(100.0))
+        metrics = {
+            "loss": loss,
+            "grad_norm": _norm_tree(grads),
+            "logit_scale": jnp.exp(new_params["logit_scale"]),
+        }
+        return new_params, new_state, new_opt_state, metrics
+
+    replicated = NamedSharding(mesh, P())
+    batch_sh = {
+        "images": NamedSharding(mesh, P(DATA_AXIS)),
+        "texts": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+    if shard_params:
+        assert example_params is not None and example_opt_state is not None
+        param_sh = zero_sharding(mesh, example_params)
+        opt_sh = zero_sharding(mesh, example_opt_state)
+    else:
+        param_sh = jax.tree_util.tree_map(lambda _: replicated, example_params) if example_params is not None else replicated
+        opt_sh = jax.tree_util.tree_map(lambda _: replicated, example_opt_state) if example_opt_state is not None else replicated
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, replicated, opt_sh, batch_sh),
+        out_shardings=(param_sh, replicated, opt_sh, replicated),
+        donate_argnums=(0, 1, 2),
+    )
