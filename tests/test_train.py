@@ -257,3 +257,24 @@ def test_pjit_zero_sharded_step():
     # second step runs on the sharded outputs
     params2, state2, opt2, metrics = step(params2, state2, opt2, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_distill_train_step_smoke():
+    from xclip_tpu.train.step import make_distill_train_step
+
+    student = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    teacher = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    s_params, s_state = student.init(jax.random.PRNGKey(0))
+    t_params, t_state = teacher.init(jax.random.PRNGKey(1))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 100), weight_decay=0.1)
+    opt_state = tx.init(s_params)
+    step = make_distill_train_step(student, teacher, tx, mesh, TrainStepCfg(precision="fp32"))
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+    s_params, s_state, opt_state, metrics = step(s_params, s_state, opt_state, t_params, t_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["distill_loss"]) > 0

@@ -122,7 +122,8 @@ def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag:
         os.replace(tmp, os.path.join(args.checkpoint_path, LATEST_CHECKPOINT_NAME))
 
 
-def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info) -> tuple:
+def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info,
+                    tb_writer=None) -> tuple:
     data["train"].set_epoch(epoch)
     loader = data["train"]
     num_batches_per_epoch = loader.num_batches
@@ -164,6 +165,16 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
                 f"{samples_per_second_per_gpu:#g}/s/gpu "
                 f"Scale: {float(metrics['logit_scale']):.3f}"
             )
+            if tb_writer is not None:
+                for name, val in [
+                    ("train/loss", losses_m.val),
+                    ("train/logit_scale", float(metrics["logit_scale"])),
+                    ("train/samples_per_second", samples_per_second),
+                    ("train/samples_per_second_per_gpu", samples_per_second_per_gpu),
+                    ("train/data_time", data_time_m.avg),
+                    ("train/batch_time", batch_time_m.avg),
+                ]:
+                    tb_writer.add_scalar(name, val, step)
             batch_time_m.reset()
             gpu_time_m.reset()
             data_time_m.reset()
@@ -206,6 +217,14 @@ def main(argv=None) -> int:
     os.makedirs(args.checkpoint_path, exist_ok=True)
     args.save_logs = True
     args.tensorboard = "tensorboard" in args.report_to or "all" in args.report_to
+    tb_writer = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard.writer import SummaryWriter
+
+            tb_writer = SummaryWriter(log_dir=os.path.join(log_base_path, "tensorboard"))
+        except ImportError:
+            logging.warning("tensorboard unavailable; skipping --report-to tensorboard")
     args.next_log_ckpt_step = 1 if args.save_log_step else 0
 
     if resume_latest:
@@ -250,6 +269,7 @@ def main(argv=None) -> int:
             weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm or 0.0,
         )
         opt_state = tx.init(params)
+        distill = bool(args.distill_model and args.distill_pretrained)
         step_fn = make_train_step(
             model, tx, mesh,
             TrainStepCfg(
@@ -260,6 +280,22 @@ def main(argv=None) -> int:
                 siglip=args.siglip,
             ),
         )
+        if distill:
+            from xclip_tpu.models.factory import create_model as _create
+            from xclip_tpu.train.step import make_distill_train_step
+
+            teacher_model, t_params, t_state = _create(
+                args.distill_model, pretrained=args.distill_pretrained
+            )
+            raw_step = make_distill_train_step(
+                model, teacher_model, tx, mesh,
+                TrainStepCfg(
+                    precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
+                    local_loss=True,
+                    grad_checkpointing=args.grad_checkpointing,
+                ),
+            )
+            step_fn = lambda p, s, o, b: raw_step(p, s, o, t_params, t_state, b)
 
     if args.resume:
         from xclip_tpu.core.checkpoint import load_checkpoint
@@ -278,7 +314,7 @@ def main(argv=None) -> int:
     for epoch in range(start_epoch, args.epochs):
         logging.info(f"Start epoch {epoch}")
         params, state, opt_state = train_one_epoch(
-            model, step_fn, params, state, opt_state, data, epoch, args, info
+            model, step_fn, params, state, opt_state, data, epoch, args, info, tb_writer
         )
         completed_epoch = epoch + 1
 

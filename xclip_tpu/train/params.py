@@ -52,6 +52,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--local-loss", action="store_true")
     parser.add_argument("--gather-with-grad", action="store_true")
     parser.add_argument("--siglip", action="store_true")
+    parser.add_argument("--distill-model", type=str, default=None,
+                        help="teacher model config name for distillation")
+    parser.add_argument("--distill-pretrained", type=str, default=None,
+                        help="teacher checkpoint path")
     # logging / checkpointing
     parser.add_argument("--logs", type=str, default="./logs/")
     parser.add_argument("--log-local", action="store_true")

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from xclip_tpu.parallel.mesh import DATA_AXIS
-from xclip_tpu.train.loss import clip_loss, siglip_loss
+from xclip_tpu.train.loss import clip_loss, distill_clip_loss, siglip_loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +182,90 @@ def make_train_step(
     return jax.jit(
         step,
         in_shardings=(replicated, replicated, replicated, batch_sharded),
+        out_shardings=(replicated, replicated, replicated, replicated),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_distill_train_step(
+    model,
+    teacher_model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepCfg = TrainStepCfg(),
+) -> Callable:
+    """Distillation train step (reference --distill-model path,
+    training/main.py:259-267 + DistillClipLoss): the frozen teacher runs
+    inside the same compiled program; its features are stop-gradient.
+
+    Returned signature::
+
+        params, state, opt_state, metrics = step(
+            params, state, opt_state, teacher_params, teacher_state, batch)
+    """
+    from xclip_tpu.core.precision import get_policy
+
+    compute_dtype = get_policy(cfg.precision).compute_dtype
+
+    def local_grads(params, state, t_params, t_state, images, texts):
+        t_out = teacher_model.forward(
+            t_params, images, texts, state=t_state, train=False, dtype=compute_dtype
+        )
+
+        def loss_fn(p):
+            out = model.forward(
+                p, images, texts, state=state, train=True, dtype=compute_dtype,
+                remat=cfg.grad_checkpointing,
+            )
+            contrastive, distill = distill_clip_loss(
+                out["image_features"], out["text_features"], out["logit_scale"],
+                t_out["image_features"], t_out["text_features"], t_out["logit_scale"],
+                axis_name=DATA_AXIS, local_loss=cfg.local_loss,
+            )
+            return contrastive + distill, (out["state"], contrastive, distill)
+
+        (loss, (new_state, contrastive, distill)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        contrastive = jax.lax.pmean(contrastive, DATA_AXIS)
+        distill = jax.lax.pmean(distill, DATA_AXIS)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        new_state = jax.lax.pmean(new_state, DATA_AXIS)
+        return loss, contrastive, distill, grads, new_state
+
+    sharded = shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, state, opt_state, t_params, t_state, batch):
+        loss, contrastive, distill, grads, new_state = sharded(
+            params, state, t_params, t_state, batch["images"], batch["texts"]
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0, jnp.log(100.0))
+        metrics = {
+            "loss": loss,
+            "contrastive_loss": contrastive,
+            "distill_loss": distill,
+            "logit_scale": jnp.exp(new_params["logit_scale"]),
+        }
+        return new_params, new_state, new_opt_state, metrics
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = {
+        "images": NamedSharding(mesh, P(DATA_AXIS)),
+        "texts": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, replicated, replicated, replicated, batch_sharded),
         out_shardings=(replicated, replicated, replicated, replicated),
         donate_argnums=(0, 1, 2),
     )
