@@ -23,12 +23,18 @@ from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 import numpy as np
 from PIL import Image
 
-from xclip_tpu.evals.metadata import XCLIP_IMAGENET_CLASSES
-
 ALL_DOMAINS = ["clipart", "infograph", "painting", "quickdraw", "real", "sketch"]
 DOMAIN_TO_IDX = {d: i for i, d in enumerate(ALL_DOMAINS)}
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp")
+
+
+def _imagenet_class_labels():
+    # imported lazily: evals.metadata pulls in the evals package, which
+    # imports this module (avoid the cycle at import time)
+    from xclip_tpu.evals.metadata import XCLIP_IMAGENET_CLASSES
+
+    return dict(enumerate(XCLIP_IMAGENET_CLASSES))
 
 
 def _open_rgb(path: str) -> Image.Image:
@@ -88,7 +94,7 @@ class ImageNet(ImageFolderIndex):
                  target_transform=None, class_idcs: Optional[Sequence[int]] = None, **_):
         assert split in ("train", "val")
         super().__init__(os.path.join(root, split), transform, target_transform)
-        self.class_labels = dict(enumerate(XCLIP_IMAGENET_CLASSES))
+        self.class_labels = _imagenet_class_labels()
         if class_idcs is not None:
             _remap_classes(self, class_idcs)
         self.targets = np.array([t for _, t in self.samples])
@@ -102,7 +108,7 @@ class CorruptedImageNet(ImageFolderIndex):
         path = os.path.join(root, corruption, str(severity))
         assert os.path.isdir(path), path
         super().__init__(path, transform, target_transform)
-        self.class_labels = dict(enumerate(XCLIP_IMAGENET_CLASSES))
+        self.class_labels = _imagenet_class_labels()
         if class_idcs is not None:
             _remap_classes(self, class_idcs)
         self.targets = np.array([t for _, t in self.samples])
@@ -116,7 +122,7 @@ class ImageNetSketch(ImageFolderIndex):
         assert split == "sketch"
         path = root if root.endswith("sketch") else os.path.join(root, split)
         super().__init__(path, transform, target_transform)
-        self.class_labels = dict(enumerate(XCLIP_IMAGENET_CLASSES))
+        self.class_labels = _imagenet_class_labels()
         if class_idcs is not None:
             _remap_classes(self, class_idcs)
         self.targets = np.array([t for _, t in self.samples])

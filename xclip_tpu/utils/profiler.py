@@ -66,3 +66,44 @@ def profile_model(model, params, state, *, batch_size: int = 1) -> Dict[str, flo
     if image_flops is not None and text_flops is not None:
         results["gflops"] = (image_flops + text_flops) / batch_size / 1e9
     return results
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """CSV profile of model configs (reference training/profiler.py CLI)."""
+    import argparse
+    import csv
+    import sys
+
+    import jax as _jax
+
+    from xclip_tpu.models.factory import create_model, list_models
+
+    parser = argparse.ArgumentParser("xclip_tpu model profiler")
+    parser.add_argument("--model", type=str, default="RN50",
+                        help="comma-separated model names, or 'all'")
+    parser.add_argument("--results-file", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    names = list_models() if args.model == "all" else args.model.split(",")
+    rows = []
+    for name in names:
+        from xclip_tpu.models.factory import is_coca_model
+
+        if is_coca_model(name):
+            continue
+        model, params, state = create_model(name)
+        row = {"model": name}
+        row.update(profile_model(model, params, state, batch_size=args.batch_size))
+        rows.append(row)
+        print(row)
+
+    if args.results_file and rows:
+        with open(args.results_file, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=sorted({k for r in rows for k in r}))
+            writer.writeheader()
+            writer.writerows(rows)
+
+
+if __name__ == "__main__":
+    main()
