@@ -197,3 +197,29 @@ def test_pipeline_end_to_end(tmp_path):
     a, b = sae_apply(pipe.params, x)
     a2, b2 = sae_apply(params2, x)
     np.testing.assert_allclose(np.asarray(b), np.asarray(b2), atol=1e-6)
+
+
+def test_discover_then_name(tmp_path):
+    """Concept naming: unit decoder columns vs vocab embeddings, argmax name
+    (reference DiscoverThenName / name_concepts.py)."""
+    from xclip_tpu.sae.naming import DiscoverThenName, decode_sae_config
+
+    cfg, params = _params(d=8, m=6, components=None)
+    # craft vocab embeddings so feature j matches concept j exactly
+    dec = np.asarray(params["decoder"]["weight"])  # (8, 6) unit columns
+    vocab = dec.T.copy()  # concept i == direction of feature i
+    texts = [f"concept {i}" for i in range(6)]
+    dtn = DiscoverThenName(params, vocab, texts)
+    sim = dtn.get_concept_name_similarity_matrix()
+    assert sim.shape == (6, 6)
+    names = dtn.get_concept_names()
+    assert names == texts
+    out = tmp_path / "concepts" / "concept_names.csv"
+    dtn.write_concept_names_csv(str(out))
+    assert out.read_text().splitlines()[0] == "0,concept 0"
+
+    cfgd = decode_sae_config("lr0.0005_l1coeff3e-05_ef8_rf10_hookout_bs4096_epo200")
+    assert cfgd == {
+        "lr": 0.0005, "l1_coeff": 3e-05, "expansion_factor": 8, "resample_freq": 10,
+        "hook_points": ["out"], "train_sae_bs": 4096, "num_epochs": 200,
+    }
