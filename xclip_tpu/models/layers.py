@@ -59,6 +59,8 @@ def linear_apply(params, x, *, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+    # fp32 accumulation on the MXU; output in the compute dtype (the f32->bf16
+    # convert fuses into the matmul epilogue)
     y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
