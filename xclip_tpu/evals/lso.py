@@ -139,6 +139,7 @@ def merge_step_results(results_per_step: List[Dict], steps: List[int], domain: s
     for result in results_per_step:
         for metric in ("imagenet-val", "domainnet-val"):
             for split in result[metric]:
+                results[metric].setdefault(split, {})
                 for feature, val in result[metric][split].items():
                     results[metric][split].setdefault(feature, []).append(val)
     return results

@@ -92,17 +92,42 @@ def evaluate_checkpoint(
         domain=domain, domainnet_classes=domainnet_classes,
     )
     if topk:
-        res["imagenet-val"].setdefault("topk", {})
-        res["domainnet-val"].setdefault("topk", {})
-        for k in topk:
-            res["imagenet-val"]["topk"][f"top{k}-total"] = top_k_accuracy(val_scores, val_labels, k)
-            for dom in [domain, "real"]:
-                from xclip_tpu.data.datasets import DOMAIN_TO_IDX
+        from sklearn.metrics import f1_score
 
-                mask = domain_ids == DOMAIN_TO_IDX[dom]
-                res["domainnet-val"]["topk"][f"top{k}-{dom}"] = top_k_accuracy(
-                    dn_scores[mask], domain_labels[mask], k
+        from xclip_tpu.data.datasets import DOMAIN_TO_IDX
+        from xclip_tpu.evals.lso import LSO_CLASS_TO_IDX as _LSO
+
+        # reference topk layout (evaluate_domainnet_lso_openai_topk.py:51-130):
+        # per-k accuracy dicts + macro F1 over the same id/ood splits
+        for k in topk:
+            res["imagenet-val"][f"top-{k}-accuracy"] = {
+                "total": top_k_accuracy(val_scores, val_labels, k)
+            }
+            res["domainnet-val"].setdefault(f"top-{k}-accuracy", {})
+        res["imagenet-val"]["f1-score"] = {
+            "total": float(f1_score(val_labels, val_pred, average="macro"))
+        }
+        res["domainnet-val"]["f1-score"] = {}
+        lso_vals = list(_LSO.values())
+        for dom in [domain, "real"]:
+            mask = domain_ids == DOMAIN_TO_IDX[dom]
+            kw_labels = domain_labels[mask]
+            kw_scores = dn_scores[mask]
+            kw_pred = domain_pred[mask]
+            lso_mask = np.isin(kw_labels, lso_vals)
+            for k in topk:
+                res["domainnet-val"][f"top-{k}-accuracy"][f"{dom}-lso-ood"] = top_k_accuracy(
+                    kw_scores[lso_mask], kw_labels[lso_mask], k
                 )
+                res["domainnet-val"][f"top-{k}-accuracy"][f"{dom}-lso-id"] = top_k_accuracy(
+                    kw_scores[~lso_mask], kw_labels[~lso_mask], k
+                )
+            res["domainnet-val"]["f1-score"][f"{dom}-lso-ood"] = float(
+                f1_score(kw_labels[lso_mask], kw_pred[lso_mask], average="macro")
+            )
+            res["domainnet-val"]["f1-score"][f"{dom}-lso-id"] = float(
+                f1_score(kw_labels[~lso_mask], kw_pred[~lso_mask], average="macro")
+            )
     return res, (val_labels, val_pred, domain_labels, domain_pred, domain_ids)
 
 
