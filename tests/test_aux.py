@@ -272,3 +272,17 @@ class TestFastImage:
         ds = TsvDataset(str(tsv), img_transform=FastFileTransform(32, is_train=False))
         arr, caption = ds[0]
         assert arr.shape == (32, 32, 3) and caption == "a caption"
+
+
+def test_remote_sync_fsspec(tmp_path):
+    from xclip_tpu.utils.file_utils import remote_sync
+
+    src = tmp_path / "src"
+    (src / "checkpoints").mkdir(parents=True)
+    (src / "checkpoints" / "epoch_1.pt").write_bytes(b"abc")
+    (src / "checkpoints" / "epoch_latest.pt").write_bytes(b"skip-me")
+    dst = tmp_path / "dst"
+    dst.mkdir()
+    assert remote_sync(str(src), str(dst), "fsspec")
+    assert (dst / "checkpoints" / "epoch_1.pt").read_bytes() == b"abc"
+    assert not (dst / "checkpoints" / "epoch_latest.pt").exists()

@@ -407,8 +407,31 @@ def load_native(path: str, model=None, params=None, state=None):
     return pflat, sflat, extras
 
 
+def save_orbax(path: str, params, state, extras: Optional[dict] = None) -> None:
+    """Orbax checkpoint (async-capable, sharding-aware) for very large runs."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {"params": params, "state": state,
+                                       "extras": extras or {}}, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, params, state):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path), {"params": params, "state": state, "extras": {}}
+    )
+    return restored["params"], restored["state"], restored.get("extras", {})
+
+
 def load_checkpoint(path: str, model, params, state) -> Tuple[Dict, Dict]:
-    """Dispatch on file type: torch .pt / native .npz."""
+    """Dispatch on file type: torch .pt / native .npz / orbax directory."""
+    if os.path.isdir(path):
+        params, state, _ = load_orbax(path, params, state)
+        return params, state
     if path.endswith(".npz"):
         params, state, _ = load_native(path, model, params, state)
         return params, state

@@ -239,6 +239,21 @@ def main(argv=None) -> int:
         f"process {info.process_index}/{info.world_size // max(jax.local_device_count(), 1)}."
     )
 
+    remote_sync_process = None
+    if args.remote_sync is not None:
+        from xclip_tpu.utils.file_utils import remote_sync, start_sync_process
+
+        # verify once, then sync in the background (reference main.py:168-189)
+        if not remote_sync(log_base_path, os.path.join(args.remote_sync, args.name),
+                           args.remote_sync_protocol):
+            logging.error("Error: remote sync failed. Exiting.")
+            return -1
+        remote_sync_process = start_sync_process(
+            args.remote_sync_frequency, log_base_path,
+            os.path.join(args.remote_sync, args.name), args.remote_sync_protocol,
+        )
+        remote_sync_process.start()
+
     model, params, state, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model, pretrained=args.pretrained or None, precision="fp32",
         force_quick_gelu=args.force_quick_gelu, seed=args.seed,
@@ -327,6 +342,12 @@ def main(argv=None) -> int:
         ):
             save_checkpoint(args, model, params, state, opt_state, completed_epoch)
 
+    if remote_sync_process is not None:
+        from xclip_tpu.utils.file_utils import remote_sync
+
+        remote_sync_process.terminate()
+        remote_sync(log_base_path, os.path.join(args.remote_sync, args.name),
+                    args.remote_sync_protocol)
     return 0
 
 

@@ -72,6 +72,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
     parser.add_argument("--val-frequency", type=int, default=1)
     parser.add_argument("--report-to", type=str, default="")
+    parser.add_argument("--remote-sync", type=str, default=None,
+                        help="remote dir to sync checkpoints/logs to")
+    parser.add_argument("--remote-sync-frequency", type=int, default=300)
+    parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="fsspec")
     parser.add_argument("--log-every-n-steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--debug", action="store_true")
