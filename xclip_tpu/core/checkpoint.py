@@ -412,19 +412,23 @@ def save_orbax(path: str, params, state, extras: Optional[dict] = None) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), {"params": params, "state": state,
-                                       "extras": extras or {}}, force=True)
+    ckptr.save(os.path.abspath(path), {"params": params, "state": state}, force=True)
     ckptr.wait_until_finished()
+    with open(os.path.join(path, "extras.json"), "w") as fh:
+        json.dump(extras or {}, fh)
 
 
 def load_orbax(path: str, params, state):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path), {"params": params, "state": state, "extras": {}}
-    )
-    return restored["params"], restored["state"], restored.get("extras", {})
+    restored = ckptr.restore(os.path.abspath(path), {"params": params, "state": state})
+    extras = {}
+    extras_path = os.path.join(path, "extras.json")
+    if os.path.exists(extras_path):
+        with open(extras_path) as fh:
+            extras = json.load(fh)
+    return restored["params"], restored["state"], extras
 
 
 def load_checkpoint(path: str, model, params, state) -> Tuple[Dict, Dict]:
