@@ -451,7 +451,7 @@ def save_open_clip_checkpoint(path: str, model, params, state, *, epoch: int = 0
     ckpt = {
         "epoch": epoch,
         "name": name,
-        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd.items()},
     }
     tmp = path + ".tmp"
     torch.save(ckpt, tmp)
