@@ -147,3 +147,35 @@ def test_intermediates_capture():
     feats, _, inters = model.encode_image(params, x, state=state, capture=names)
     assert set(inters) == set(names)
     assert inters["attnpool"].shape == (1, 64)
+
+
+def test_build_model_from_state_dict_inference():
+    """Config inference from state-dict shapes (the reference build_model
+    path) reconstructs the right architecture for both tower families."""
+    from xclip_tpu.core.checkpoint import (
+        build_model_from_state_dict,
+        infer_clip_cfg_from_state_dict,
+    )
+
+    # head_width must be the conventional 64 — shape inference cannot
+    # recover nonstandard head counts (same limitation as the reference)
+    small_vit_hw64 = dict(SMALL_VIT)
+    small_vit_hw64["vision_cfg"] = dict(SMALL_VIT["vision_cfg"], head_width=64)
+    for cfg_dict in (SMALL_RN, small_vit_hw64):
+        model = CLIPModel(clip_cfg_from_dict(cfg_dict))
+        params, state = model.init(jax.random.PRNGKey(0))
+        sd = pytrees_to_open_clip_state_dict(model, params, state)
+        inferred = infer_clip_cfg_from_state_dict(sd)
+        assert inferred["embed_dim"] == cfg_dict["embed_dim"]
+        assert inferred["text_cfg"]["layers"] == cfg_dict["text_cfg"]["layers"]
+        v = inferred["vision_cfg"]
+        if isinstance(cfg_dict["vision_cfg"]["layers"], list):
+            assert v["layers"] == cfg_dict["vision_cfg"]["layers"]
+        else:
+            assert v["patch_size"] == cfg_dict["vision_cfg"]["patch_size"]
+        model2, params2, state2 = build_model_from_state_dict(sd, quick_gelu=False)
+        x = np.zeros((1, cfg_dict["vision_cfg"]["image_size"],
+                      cfg_dict["vision_cfg"]["image_size"], 3), np.float32)
+        f1, _, _ = model.encode_image(params, x, state=state)
+        f2, _, _ = model2.encode_image(params2, x, state=state2)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)

@@ -238,6 +238,61 @@ def _map_block(flat, sd, base_out: str, base_in: str, dim: int) -> None:
     _map_linear(flat, sd, f"{base_out}{SEP}mlp{SEP}c_proj", f"{base_in}.mlp.c_proj")
 
 
+def infer_clip_cfg_from_state_dict(sd: Dict[str, np.ndarray]):
+    """Infer the architecture from state-dict shapes (the reference
+    build_model path, deps/open_clip/src/open_clip/model.py:448-504 and
+    xclip/clip/model.py:468) -> CLIPCfg dict usable by clip_cfg_from_dict."""
+    sd = _strip_prefix(dict(sd))
+    vit = "visual.proj" in sd
+    if vit:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len(
+            [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
+        )
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision_cfg = {
+            "image_size": vision_patch_size * grid,
+            "layers": vision_layers,
+            "width": vision_width,
+            "patch_size": vision_patch_size,
+        }
+    else:
+        counts = [
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        ]
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision_cfg = {
+            "image_size": output_width * 32,
+            "layers": counts,
+            "width": vision_width,
+            "patch_size": None,
+        }
+    embed_dim = sd["text_projection"].shape[1]
+    text_cfg = {
+        "context_length": sd["positional_embedding"].shape[0],
+        "vocab_size": sd["token_embedding.weight"].shape[0],
+        "width": sd["ln_final.weight"].shape[0],
+        "heads": sd["ln_final.weight"].shape[0] // 64,
+        "layers": len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}),
+    }
+    return {"embed_dim": int(embed_dim), "vision_cfg": vision_cfg, "text_cfg": text_cfg}
+
+
+def build_model_from_state_dict(path_or_sd, quick_gelu: bool = True):
+    """Load an arbitrary OpenAI/open_clip checkpoint without naming a config
+    (shape inference). Returns (model, params, state)."""
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    sd = path_or_sd if isinstance(path_or_sd, dict) else _load_torch_state_dict(path_or_sd)
+    cfg = infer_clip_cfg_from_state_dict(sd)
+    model = CLIPModel(clip_cfg_from_dict(cfg, quick_gelu=quick_gelu))
+    params, state = open_clip_state_dict_to_pytrees(sd, model)
+    return model, params, state
+
+
 def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[Dict, Dict]:
     """Map an open_clip/OpenAI CLIP state dict onto ``model``'s param/state
     pytrees. ``model`` is a :class:`~xclip_tpu.models.clip.CLIPModel`."""
