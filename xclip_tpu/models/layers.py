@@ -59,8 +59,14 @@ def linear_apply(params, x, *, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
-    # fp32 accumulation on the MXU; output in the compute dtype (the f32->bf16
-    # convert fuses into the matmul epilogue)
+    if x.dtype == jnp.bfloat16:
+        # MXU accumulates fp32 internally; emitting bf16 directly avoids a
+        # separate fp32 buffer + convert pass (convert fusions measured at
+        # ~20% of the RN50 train step)
+        y = jnp.dot(x, kernel)
+        if "bias" in params:
+            y = y + params["bias"].astype(y.dtype)
+        return y
     y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
@@ -168,7 +174,10 @@ def batchnorm_apply(
         # round-trip through HBM.
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
-        mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+        # square in the activation dtype, accumulate fp32 inside the reduce —
+        # x.astype(f32) here would materialize an fp32 copy of the whole
+        # activation (measured as a large share of step time)
+        mean_sq = jnp.mean(jax.lax.square(x), axis=axes, dtype=jnp.float32)
         var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
         n = np.prod([x.shape[a] for a in axes])
         unbiased = var * (n / max(n - 1, 1))
@@ -234,7 +243,7 @@ def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None,
     if mask is not None:
         logits = logits + mask
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
     return out.astype(q.dtype).reshape(b, lq, d)
 
 
