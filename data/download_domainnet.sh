@@ -1,34 +1,21 @@
-mkdir -p data/domainnet
-cd data/domainnet
+#!/bin/bash
+# Download DomainNet (cleaned version) + the official train/test splits.
+# (reference workflow: data/download_domainnet.sh; URLs are the public
+# ai.bu.edu release)
+set -euo pipefail
+OUT=${1:-domainnet}
+mkdir -p "$OUT" && cd "$OUT"
 
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/groundtruth/clipart.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/clipart_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/clipart_test.txt
-unzip clipart.zip
-
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/infograph.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/infograph_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/infograph_test.txt
-unzip infograph.zip
-
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/groundtruth/painting.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/painting_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/painting_test.txt
-unzip painting.zip
-
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/quickdraw.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/quickdraw_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/quickdraw_test.txt
-unzip quickdraw.zip
-
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/real.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/real_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/real_test.txt
-unzip real.zip
-
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/sketch.zip
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/sketch_train.txt
-wget http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/sketch_test.txt
-unzip sketch.zip
-
-cd ../..
+for D in clipart infograph painting quickdraw real sketch; do
+  if [ "$D" = "clipart" ] || [ "$D" = "painting" ]; then
+    URL="http://csr.bu.edu/ftp/visda/2019/multi-source/groundtruth/${D}.zip"
+  else
+    URL="http://csr.bu.edu/ftp/visda/2019/multi-source/${D}.zip"
+  fi
+  [ -d "$D" ] || { wget -c "$URL"; unzip -q "${D}.zip"; rm "${D}.zip"; }
+  for SPLIT in train test; do
+    F="${D}_${SPLIT}.txt"
+    [ -f "$F" ] || wget -c "http://csr.bu.edu/ftp/visda/2019/multi-source/domainnet/txt/${F}"
+  done
+done
+echo "DomainNet ready in $PWD"

@@ -278,3 +278,60 @@ def test_distill_train_step_smoke():
     s_params, s_state, opt_state, metrics = step(s_params, s_state, opt_state, t_params, t_state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["distill_loss"]) > 0
+
+
+def test_get_clip_metrics_retrieval():
+    from xclip_tpu.train.evaluate import accuracy_topk, get_clip_metrics
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(12, 8).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    # identical image/text features -> perfect retrieval
+    m = get_clip_metrics(feats, feats, 100.0)
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_R@5"] == 1.0
+    assert m["image_to_text_mean_rank"] == 1.0
+    # shuffled -> imperfect
+    m2 = get_clip_metrics(feats, np.roll(feats, 1, axis=0), 100.0)
+    assert m2["image_to_text_R@1"] == 0.0
+
+    logits = np.array([[0.1, 0.9], [0.8, 0.2]])
+    a1, a2 = accuracy_topk(logits, np.array([1, 0]), topk=(1, 2))
+    assert a1 == 1.0 and a2 == 1.0
+
+
+def test_zero_shot_eval_in_training(tmp_path):
+    """In-training ImageNet zero-shot eval (reference training/zero_shot.py)."""
+    import argparse
+
+    from xclip_tpu.train.evaluate import zero_shot_eval
+
+    model = CLIPModel(clip_cfg_from_dict({
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 8},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 32, "heads": 4, "layers": 2},
+    }))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    # monkeypatch the label space small for CPU speed
+    import xclip_tpu.train.evaluate as ev
+
+    orig_names, orig_tpl = ev.IMAGENET_CLASSNAMES, ev.OPENAI_IMAGENET_TEMPLATES
+    ev.IMAGENET_CLASSNAMES = ["cat", "dog", "fish", "bird", "cow", "horse"]
+    ev.OPENAI_IMAGENET_TEMPLATES = ["a photo of a {}."]
+    try:
+        rng = np.random.RandomState(0)
+        batches = [
+            (rng.randn(4, 32, 32, 3).astype(np.float32), rng.randint(0, 6, 4))
+            for _ in range(2)
+        ]
+        args = argparse.Namespace(zeroshot_frequency=1, epochs=1)
+        from xclip_tpu.tokenizer import get_tokenizer
+
+        res = ev.zero_shot_eval(model, params, state, {"imagenet-val": batches}, 1, args,
+                                get_tokenizer("x"))
+        assert "imagenet-zeroshot-val-top1" in res
+        assert 0.0 <= res["imagenet-zeroshot-val-top1"] <= 1.0
+        assert res["imagenet-zeroshot-val-top5"] >= res["imagenet-zeroshot-val-top1"]
+    finally:
+        ev.IMAGENET_CLASSNAMES, ev.OPENAI_IMAGENET_TEMPLATES = orig_names, orig_tpl
