@@ -128,3 +128,18 @@ def test_coca_golden_parity():
     ref_logits = ref_out["logits"].numpy()[valid]
     np.testing.assert_allclose(got_logits, ref_logits, atol=2e-3, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(out["labels"]), labels)
+
+
+def test_generate_beam_search():
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA))
+    params = model.init(jax.random.PRNGKey(0))
+    images, _ = _inputs()
+    out = model.generate(
+        params, images, seq_len=7, sot_token_id=500, eos_token_id=501,
+        generation_type="beam_search", num_beams=3, min_seq_len=2,
+    )
+    assert out.shape == (2, 7)
+    assert (out[:, 0] == 500).all()
+    # beam result should be at least as likely as greedy under the model —
+    # sanity: it is a valid token sequence (ids within vocab)
+    assert out.max() < 512 and out.min() >= 0

@@ -276,6 +276,7 @@ class CoCaModel:
         top_p: float = 0.1,
         temperature: float = 1.0,
         min_seq_len: int = 5,
+        num_beams: int = 6,
         seed: int = 0,
     ) -> np.ndarray:
         """Autoregressive captioning (reference generate:192-305, top_k/top_p
@@ -287,6 +288,13 @@ class CoCaModel:
         def step_logits(p, img_embs, tokens):
             _, token_embs = self.encode_text_with_tokens(p, tokens)
             return self.decode(p, img_embs, token_embs)
+
+        if generation_type == "beam_search":
+            return self._generate_beamsearch(
+                params, image_embs, b, seq_len=seq_len, sot_token_id=sot_token_id,
+                eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+                min_seq_len=min_seq_len, num_beams=num_beams,
+            )
 
         rng = np.random.RandomState(seed)
         out = np.full((b, seq_len), pad_token_id, np.int32)
@@ -322,6 +330,71 @@ class CoCaModel:
             if done.all():
                 break
         return out
+
+    def _generate_beamsearch(
+        self,
+        params,
+        image_embs,
+        batch: int,
+        *,
+        seq_len: int,
+        sot_token_id: int,
+        eos_token_id: int,
+        pad_token_id: int,
+        min_seq_len: int,
+        num_beams: int = 6,
+    ) -> np.ndarray:
+        """Standard beam search (the reference's default generation path,
+        coca_model.py:307-473; diverse beam groups not implemented — plain
+        beams == num_beam_groups=1)."""
+        import jax as _jax
+
+        @_jax.jit
+        def step_logits(p, img_embs, tokens):
+            _, token_embs = self.encode_text_with_tokens(p, tokens)
+            return self.decode(p, img_embs, token_embs)
+
+        # expand image embs per beam: (B*num_beams, Q, E)
+        img = np.repeat(np.asarray(image_embs), num_beams, axis=0)
+        tokens = np.full((batch * num_beams, seq_len), pad_token_id, np.int32)
+        tokens[:, 0] = sot_token_id
+        beam_scores = np.zeros((batch, num_beams), np.float64)
+        beam_scores[:, 1:] = -1e9  # first step: only beam 0 contributes
+        done = np.zeros(batch * num_beams, bool)
+
+        for pos in range(1, seq_len):
+            logits = np.array(step_logits(params, jnp.asarray(img), jnp.asarray(tokens)))[:, pos - 1]
+            if pos < min_seq_len:
+                logits[:, eos_token_id] = -1e30
+            logp = logits - logits.max(-1, keepdims=True)
+            logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+            logp[done] = -1e30
+            logp[done, pad_token_id] = 0.0  # finished beams keep padding
+
+            vocab = logp.shape[-1]
+            total = beam_scores.reshape(-1, 1) + logp  # (B*beams, V)
+            total = total.reshape(batch, num_beams * vocab)
+            top_idx = np.argsort(-total, axis=-1)[:, :num_beams]
+            top_scores = np.take_along_axis(total, top_idx, axis=-1)
+            beam_src = top_idx // vocab  # which beam it came from
+            tok = (top_idx % vocab).astype(np.int32)
+
+            new_tokens = np.empty_like(tokens)
+            new_done = np.empty_like(done)
+            for bi in range(batch):
+                for k in range(num_beams):
+                    src = bi * num_beams + beam_src[bi, k]
+                    dst = bi * num_beams + k
+                    new_tokens[dst] = tokens[src]
+                    new_tokens[dst, pos] = tok[bi, k]
+                    new_done[dst] = done[src] or tok[bi, k] == eos_token_id
+            tokens, done = new_tokens, new_done
+            beam_scores = top_scores
+            if done.all():
+                break
+
+        best = beam_scores.argmax(axis=-1)
+        return np.stack([tokens[bi * num_beams + best[bi]] for bi in range(batch)])
 
 
 def coca_loss(
