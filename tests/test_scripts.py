@@ -184,3 +184,66 @@ class TestSubsampler:
         sketch_lso = [r for r in rows if r.split("\t")[0].split("/")[-3] == "sketch"
                       and r.split("\t")[0].split("/")[-2] in lso_names]
         assert sketch_lso  # pseudo-exclude keeps the classes
+
+
+def test_representational_analysis_capture(tmp_path):
+    """capture_pooled_activations (the CKA script's hook replacement) returns
+    spatial-mean activations for every RN stage."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import jax
+
+    spec = importlib.util.spec_from_file_location("repan", "scripts/representational_analysis.py")
+    repan = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(repan)
+
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    cfg = {
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": [1, 1, 1, 1], "width": 8, "patch_size": None},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 16, "heads": 2, "layers": 1},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return rng.randn(32, 32, 3).astype(np.float32), i % 3
+
+    acts, labels = repan.capture_pooled_activations(model, params, state, DS(), 4, 2)
+    assert labels.shape == (6,)
+    assert acts["stem.act1"].shape == (6, 4)  # spatial-mean pooled -> (N, C)
+    assert acts["attnpool"].shape == (6, 16)
+
+
+def test_embedding_analysis_script(tmp_path):
+    """embedding_analysis end-to-end on cached features (PCA fallback)."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "scripts")
+    spec = importlib.util.spec_from_file_location("emban", "scripts/embedding_analysis.py")
+    emban = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(emban)
+
+    rng = np.random.RandomState(0)
+    feats_dir = tmp_path / "feats"
+    feats_dir.mkdir()
+    np.save(feats_dir / "img_feat.npy", rng.randn(2, 60, 16).astype(np.float32))
+    np.save(feats_dir / "domain_ids.npy", rng.randint(0, 6, 60))
+    np.save(feats_dir / "domain_labels.npy", rng.randint(0, 5, 60))
+
+    import argparse
+
+    out = tmp_path / "out"
+    emban.main(argparse.Namespace(features_path=str(feats_dir), out_path=str(out), max_points=50))
+    assert (out / "embedding.png").exists()
+    assert (out / "domain_distances.png").exists()
+    assert (out / "embedding_analysis.json").exists()
