@@ -9,6 +9,7 @@ returns ``(model, params, state)`` where params/state are pytrees.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 from copy import deepcopy
 from typing import Dict, Optional, Tuple
@@ -92,6 +93,12 @@ def create_model(
     if pretrained:
         from xclip_tpu.core.checkpoint import load_checkpoint
 
+        if not os.path.exists(pretrained) and "/" not in pretrained and "\\" not in pretrained:
+            # registry tag like 'openai' (reference create_model pretrained
+            # resolution, factory.py:244-269)
+            from xclip_tpu.models.pretrained import download_pretrained
+
+            pretrained = download_pretrained(model_name, pretrained)
         params, state = load_checkpoint(pretrained, model, params, state)
     policy = get_policy(precision)
     if policy.param_dtype != params["logit_scale"].dtype:
