@@ -227,3 +227,18 @@ class TestCircuitProtocol:
         a = rng.randn(40)
         assert node_jaccard_similarity(a, a) == 1.0
         assert 0 <= node_jaccard_similarity(a, rng.randn(40)) <= 1.0
+
+
+def test_render_circuit_graphviz(tmp_path):
+    import networkx as nx
+
+    from xclip_tpu.interp.graph import render_circuit_graphviz
+
+    g = nx.DiGraph()
+    g.add_node("a/0", effect=1.0, node_label="0")
+    g.add_node("b/1", effect=-0.5, node_label="1")
+    g.add_edge("a/0", "b/1", weight=0.7)
+    out = render_circuit_graphviz(g, str(tmp_path / "circuit"))
+    import os
+
+    assert os.path.exists(out)

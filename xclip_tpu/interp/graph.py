@@ -123,3 +123,51 @@ def wl_kernel_similarity(graphs, h: int = 3, node_label: bool = True) -> np.ndar
     with np.errstate(divide="ignore", invalid="ignore"):
         sim = np.where(diag > 0, k / diag, 0.0)
     return sim
+
+
+def render_circuit_graphviz(
+    g: nx.DiGraph,
+    out_path: str,
+    *,
+    pen_thickness: float = 3.0,
+    fmt: str = "pdf",
+) -> str:
+    """Render the circuit DAG with graphviz (reference plot_graphviz_dag /
+    create_dag rendering, graph_utility.py:18-179): nodes colored by signed
+    effect magnitude (blue positive, red negative), edge pen width by
+    |weight|. Returns the written path."""
+    from graphviz import Digraph
+
+    effects = [abs(d.get("effect", 0.0)) for _, d in g.nodes(data=True)]
+    scale = max(effects) if effects else 1.0
+    weights = [abs(d.get("weight", 0.0)) for *_, d in g.edges(data=True)]
+    wscale = max(weights) if weights else 1.0
+
+    def to_hex(number: float):
+        number = number / scale if scale else 0.0
+        if number < 0:
+            red, green = 255, int((1 + number) * 255)
+            blue = green
+        elif number > 0:
+            blue = 255
+            red = green = int((1 - number) * 255)
+        else:
+            red = green = blue = 255
+        text = "#000000" if (red * 0.299 + green * 0.587 + blue * 0.114) > 170 else "#ffffff"
+        return f"#{red:02X}{green:02X}{blue:02X}", text
+
+    dot = Digraph(name="Feature circuit")
+    dot.graph_attr.update(rankdir="BT", newrank="true")
+    dot.node_attr.update(shape="box", style="rounded,filled")
+    for node, data in g.nodes(data=True):
+        fill, text = to_hex(data.get("effect", 0.0))
+        dot.node(node, label=node, fillcolor=fill, fontcolor=text)
+    for u, v, data in g.edges(data=True):
+        w = abs(data.get("weight", 0.0)) / wscale if wscale else 0.0
+        dot.edge(u, v, penwidth=str(max(0.3, w * pen_thickness)))
+    try:
+        return dot.render(out_path, format=fmt, cleanup=True)
+    except Exception:
+        # graphviz binaries absent: keep the dot source (still inspectable)
+        dot.save(out_path + ".dot")
+        return out_path + ".dot"
