@@ -78,6 +78,9 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
             output_dim=embed_dim,
             act=act,
             patch_dropout=v.get("patch_dropout", 0.0),
+            attentional_pool=bool(v.get("attentional_pool", False)),
+            attn_pooler_queries=v.get("attn_pooler_queries", 256),
+            attn_pooler_heads=v.get("attn_pooler_heads", 8),
         )
     text = T.TextTransformerCfg(
         context_length=t.get("context_length", 77),

@@ -39,6 +39,9 @@ class VisionTransformerCfg:
     final_ln_after_pool: bool = False
     attention_impl: str = "einsum"  # 'flash' for the Pallas kernel (long seqs)
     patch_dropout: float = 0.0  # fraction of patch tokens dropped in training
+    attentional_pool: bool = False  # AttentionalPooler head (model.py:494-530)
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
 
     @property
     def grid(self) -> int:
@@ -141,9 +144,19 @@ def vit_init(rng, cfg: VisionTransformerCfg):
         "positional_embedding": scale * jax.random.normal(keys[2], (cfg.seq_len, cfg.width), jnp.float32),
         "ln_pre": L.layernorm_init(cfg.width),
         "blocks": [],
-        "ln_post": L.layernorm_init(cfg.width),
-        "proj": scale * jax.random.normal(keys[3], (cfg.width, cfg.output_dim), jnp.float32),
+        "ln_post": L.layernorm_init(cfg.output_dim if cfg.attentional_pool else cfg.width),
+        "proj": scale * jax.random.normal(
+            keys[3],
+            ((cfg.output_dim if cfg.attentional_pool else cfg.width), cfg.output_dim),
+            jnp.float32,
+        ),
     }
+    if cfg.attentional_pool:
+        from xclip_tpu.models.coca import attn_pooler_init
+
+        params["attn_pool"] = attn_pooler_init(
+            keys[4], cfg.output_dim, cfg.width, cfg.attn_pooler_queries
+        )
     for _ in range(cfg.layers):
         rng, sub = jax.random.split(rng)
         params["blocks"].append(
@@ -205,6 +218,19 @@ def vit_apply(
     )
 
     if stop == n_stages:
+        if cfg.attentional_pool:
+            # original OpenCLIP CoCa-style pooling (transformer.py:615-629):
+            # attn_pool -> ln_post -> tok pooling -> proj
+            from xclip_tpu.models.coca import attn_pooler_apply
+
+            x = attn_pooler_apply(params["attn_pool"], x, heads=cfg.attn_pooler_heads, dtype=dtype)
+            x = L.layernorm_apply(params["ln_post"], x)
+            pooled = x[:, 0] if cfg.pool_type == "tok" else jnp.mean(x[:, 1:], axis=1)
+            proj = params["proj"].astype(dtype) if dtype is not None else params["proj"]
+            pooled = jnp.dot(pooled.astype(proj.dtype), proj, preferred_element_type=jnp.float32)
+            if "pool" in capture:
+                inters["pool"] = pooled
+            return pooled, inters
         if cfg.final_ln_after_pool:
             pooled = x[:, 0] if cfg.pool_type == "tok" else jnp.mean(x[:, 1:], axis=1)
             pooled = L.layernorm_apply(params["ln_post"], pooled)
