@@ -144,3 +144,13 @@ def test_synthetic_dataset_with_tokenizing_collate():
     assert batches[0]["images"].shape == (4, 16, 16, 3)
     assert batches[0]["texts"].shape == (4, 77)
     assert batches[0]["texts"][0, 0] == tok.sot_token_id
+
+
+def test_subsample_per_class(image_tree):
+    from xclip_tpu.data.datasets import subsample_per_class
+
+    tf = image_transform(8, is_train=False)
+    ds = ImageNet(str(image_tree / "imagenet"), split="val", transform=tf)
+    subsample_per_class(ds, k=2, seed=0)
+    counts = np.bincount(ds.targets)
+    assert (counts == 2).all() and len(ds) == 6

@@ -442,6 +442,22 @@ class CompositionDataset:
         return img, self.attr2idx[rec["pair"][0]]
 
 
+def subsample_per_class(dataset, k: int = 50, seed: int = 0):
+    """Keep at most k random samples per class (the reference's 50/class
+    imagenet-train eval subset, training/data.py:143-156). Mutates and
+    returns the dataset."""
+    rng = np.random.RandomState(seed)
+    targets = np.array([t for _, t in dataset.samples])
+    keep = np.zeros(len(targets), bool)
+    for c in np.unique(targets):
+        idx = np.where(targets == c)[0]
+        rng.shuffle(idx)
+        keep[idx[:k]] = True
+    dataset.samples = [s for s, kp in zip(dataset.samples, keep) if kp]
+    dataset.targets = np.array([t for _, t in dataset.samples])
+    return dataset
+
+
 def load_antonym_data(data_root: str) -> dict:
     antonyms = {}
     path = os.path.join(data_root, "adj_ants.csv")
