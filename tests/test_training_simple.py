@@ -63,3 +63,29 @@ def test_training_resume_latest(tmp_path):
 def test_training_native_ckpt(tmp_path):
     assert main(_args(tmp_path, "native", ["--native-ckpt"])) == 0
     assert (tmp_path / "native" / "checkpoints" / "epoch_1.npz").exists()
+
+
+def test_training_with_val_data(tmp_path):
+    """--val-data drives the in-training evaluate() path: contrastive val
+    loss + retrieval metrics -> results.jsonl (reference train.py:267-373)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = ["filepath\ttitle"]
+    for i in range(6):
+        p = img_dir / f"{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(p)
+        rows.append(f"{p}\ta photo number {i}")
+    tsv = tmp_path / "val.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+
+    assert main(_args(tmp_path, "with-val", ["--val-data", str(tsv), "--val-frequency", "1"])) == 0
+    results = tmp_path / "with-val" / "checkpoints" / "results.jsonl"
+    assert results.exists()
+    rec = json.loads(results.read_text().splitlines()[-1])
+    assert "clip_val_loss" in rec and np.isfinite(rec["clip_val_loss"])
+    assert "image_to_text_R@1" in rec
