@@ -13,7 +13,6 @@ import numpy as np
 from xclip_tpu.data.datasets import DomainNetCaptions
 from xclip_tpu.data.transforms import image_transform
 from xclip_tpu.evals.lso import (
-    LSO_CLASS_TO_IDX,
     domain_ids_from_samples,
     domainnet_classes_from_samples,
     evaluate_lso,

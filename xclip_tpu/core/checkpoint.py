@@ -25,7 +25,6 @@ from __future__ import annotations
 import io
 import json
 import os
-import re
 import zipfile
 from typing import Dict, Optional, Tuple
 

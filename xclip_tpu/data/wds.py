@@ -18,7 +18,6 @@ import io
 import itertools
 import json
 import logging
-import os
 import random
 import re
 import tarfile

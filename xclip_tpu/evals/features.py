@@ -10,7 +10,7 @@ the DataLoader.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from xclip_tpu.data.datasets import ALL_DOMAINS, DomainNetCaptions, ImageNet
+from xclip_tpu.data.datasets import DomainNetCaptions, ImageNet
 from xclip_tpu.data.transforms import image_transform
 from xclip_tpu.evals.features import extract_image_features
 from xclip_tpu.evals.lso import (

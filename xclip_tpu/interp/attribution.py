@@ -18,13 +18,13 @@ few segment-sized XLA programs.
 from __future__ import annotations
 
 from collections import namedtuple
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xclip_tpu.interp.dictionary import Dictionary, IdentityDict
+from xclip_tpu.interp.dictionary import Dictionary
 from xclip_tpu.interp.sparse_act import SparseAct
 
 EffectOut = namedtuple("EffectOut", ["effects", "deltas", "grads", "total_effect"])

@@ -17,9 +17,8 @@ through a segment are just ``jax.grad`` of these pure functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -11,8 +11,7 @@ Weisfeiler-Lehman graph-kernel similarity over top-k-edge DAGs).
 from __future__ import annotations
 
 import math
-from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import networkx as nx
 import numpy as np

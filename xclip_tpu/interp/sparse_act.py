@@ -9,8 +9,6 @@ Registered as a JAX pytree so SparseActs flow through jit/grad/vmap.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ import hashlib
 import os
 import urllib.request
 import warnings
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 _OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
 

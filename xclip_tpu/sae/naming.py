@@ -10,7 +10,7 @@ name each feature by its argmax concept; config strings like
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ optimizer-state pytree.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 import optax

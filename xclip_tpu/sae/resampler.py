@@ -16,7 +16,7 @@ numpy; only the loss evaluation over the resample dataset runs on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ classifier, top1/top5).
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -15,10 +15,6 @@ MultiStepLR boundary schedule is traced into the step.
 from __future__ import annotations
 
 import dataclasses
-import logging
-import math
-import os
-import time
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

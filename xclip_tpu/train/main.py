@@ -25,7 +25,6 @@ from datetime import datetime
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from xclip_tpu.data.datasets import SyntheticDataset, TsvDataset
 from xclip_tpu.data.loader import DataLoader, tokenizing_collate

@@ -12,11 +12,8 @@ from __future__ import annotations
 
 import logging
 import multiprocessing
-import os
 import subprocess
 import time
-from typing import Optional
-
 
 def remote_sync_s3(local_dir: str, remote_dir: str) -> bool:
     result = subprocess.run(

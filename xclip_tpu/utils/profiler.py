@@ -72,10 +72,6 @@ def main(argv=None):  # pragma: no cover - thin CLI
     """CSV profile of model configs (reference training/profiler.py CLI)."""
     import argparse
     import csv
-    import sys
-
-    import jax as _jax
-
     from xclip_tpu.models.factory import create_model, list_models
 
     parser = argparse.ArgumentParser("xclip_tpu model profiler")
