@@ -63,10 +63,17 @@ def evaluate_checkpoint(
     batch_size: int = 250,
     num_threads: int = 8,
     topk: Optional[List[int]] = None,
+    precision: str = "fp32",
 ):
-    """Single-checkpoint evaluation (reference evaluate_model:39-132)."""
+    """Single-checkpoint evaluation (reference evaluate_model:39-132).
+    ``precision='bf16'`` mirrors the reference's ``.half()`` eval encoders
+    (evaluate_domainnet_lso_openai.py:30) — ~2x image-encode throughput."""
+    from xclip_tpu.core.precision import get_policy
+
+    dtype = get_policy(precision).compute_dtype if precision != "fp32" else None
     val_data = extract_image_features(
-        model, params, state, data["val"], batch_size=batch_size, num_threads=num_threads
+        model, params, state, data["val"], batch_size=batch_size, num_threads=num_threads,
+        dtype=dtype,
     )
     zs = OpenAIZeroShotClassifier(
         model, params, tokenizer, XCLIP_IMAGENET_CLASSES, domain_invariant
@@ -76,7 +83,8 @@ def evaluate_checkpoint(
     val_labels = np.asarray(val_data["clss"])
 
     domain_data = extract_image_features(
-        model, params, state, data["domain"], batch_size=batch_size, num_threads=num_threads
+        model, params, state, data["domain"], batch_size=batch_size, num_threads=num_threads,
+        dtype=dtype,
     )
     domain_ids = domain_ids_from_samples(data["domain"].samples)
     assert np.unique(domain_ids).size == 2  # real + the target domain
@@ -141,6 +149,7 @@ def run_lso_evaluation(
     domain_invariant: bool = False,
     num_workers: int = 8,
     topk: Optional[List[int]] = None,
+    precision: str = "fp32",
 ) -> Dict:
     """Full checkpoint-series protocol -> results.json + prediction .npy
     (reference main:155-251)."""
@@ -160,6 +169,7 @@ def run_lso_evaluation(
         res, preds = evaluate_checkpoint(
             model, params, state, tokenizer, data, domain, domainnet_classes,
             domain_invariant=domain_invariant, num_threads=num_workers, topk=topk,
+            precision=precision,
         )
         results_per_step.append(res)
         predictions.append(preds)
