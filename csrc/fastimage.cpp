@@ -135,7 +135,9 @@ void crop_resize_normalize(const uint8_t* src, int src_w, int src_h,
 
 // decode_crop_resize(data: bytes, x0, y0, cw, ch, out_w, out_h,
 //                    mean3, std3) -> (bytes_f32_hwc, src_w, src_h)
-// Negative crop box => full image.
+// Negative crop box => full image. Crop coords are in ORIGINAL image
+// coordinates; DCT-domain prescale is applied whenever the crop is much
+// larger than the output, and the box is rescaled to the decoded frame.
 PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
   Py_buffer buf;
   double x0, y0, cw, ch;
@@ -147,14 +149,47 @@ PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
     return nullptr;
   }
 
+  // prescale hint: never decode more resolution than ~2x what the
+  // crop->output resampling needs. For the full image decode_jpeg derives
+  // the denom from min(dim) directly; for a crop the constraint is on the
+  // *crop* size, so the denom is computed here from a header probe and
+  // re-expressed as a full-image min_dim hint.
+  int hint = (x0 < 0) ? std::max(out_w, out_h) * 2 : 0;
+
   std::vector<uint8_t> rgb;
   int src_w = 0, src_h = 0;
+  int orig_w = 0, orig_h = 0;
   bool ok;
   Py_BEGIN_ALLOW_THREADS;
-  // decode hint: we never need more resolution than ~2x the output of the
-  // *relative* crop, but the crop box is given in source coords, so only
-  // prescale when the full image is used (crop box < 0).
-  int hint = (x0 < 0) ? std::max(out_w, out_h) * 2 : 0;
+  if (x0 >= 0) {
+    // header probe to learn the original size for denom computation
+    jpeg_decompress_struct cinfo;
+    ErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = error_exit;
+    if (!setjmp(jerr.setjmp_buffer)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_mem_src(&cinfo, static_cast<uint8_t*>(buf.buf), buf.len);
+      if (jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK) {
+        orig_w = cinfo.image_width;
+        orig_h = cinfo.image_height;
+      }
+      jpeg_destroy_decompress(&cinfo);
+    }
+    if (orig_w > 0) {
+      double crop_min = std::min(cw, ch);
+      int target = std::max(out_w, out_h) * 2;
+      for (int denom : {8, 4, 2}) {
+        if (crop_min / denom >= target) {
+          // express as a min_dim hint on the full image that yields this denom
+          int src_min = std::min(orig_w, orig_h);
+          hint = src_min / denom;  // decode_jpeg picks the largest denom with
+                                   // src_min/denom >= hint, i.e. this denom
+          break;
+        }
+      }
+    }
+  }
   ok = decode_jpeg(static_cast<const uint8_t*>(buf.buf), buf.len, hint, &rgb,
                    &src_w, &src_h);
   Py_END_ALLOW_THREADS;
@@ -170,6 +205,12 @@ PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
     y0 = 0;
     cw = src_w;
     ch = src_h;
+  } else if (orig_w > 0 && src_w != orig_w) {
+    // crop box given in original coords; rescale into the prescaled frame
+    double sx = static_cast<double>(src_w) / orig_w;
+    double sy = static_cast<double>(src_h) / orig_h;
+    x0 *= sx; cw *= sx;
+    y0 *= sy; ch *= sy;
   }
   float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
 

@@ -260,6 +260,19 @@ class TestFastImage:
         out = FastFileTransform(32, is_train=False)(str(p))
         assert out.shape == (32, 32, 3)
 
+    def test_train_crop_prescale_matches_pil(self):
+        """Large source -> DCT prescale kicks in for train crops; the crop box
+        is rescaled into the decoded frame, so output must still match the
+        same-seed PIL RandomResizedCrop pipeline."""
+        from xclip_tpu.data.fastimage import FastImageTransform
+        from xclip_tpu.data.transforms import image_transform
+
+        data, img = self._jpeg(1600, 1200)  # crop_min/2 >= 2*224 -> denom 2
+        a = FastImageTransform(224, is_train=True, seed=11)(data)
+        b = image_transform(224, is_train=True, seed=11)(img)
+        assert a.shape == b.shape == (224, 224, 3)
+        assert np.abs(a - b).mean() < 0.05
+
     def test_dataset_integration(self, tmp_path):
         from xclip_tpu.data.datasets import TsvDataset
         from xclip_tpu.data.fastimage import FastFileTransform
