@@ -17,6 +17,7 @@ from xclip_tpu.evals.lso import LSO_CLASS_TO_IDX, domainnet_classes_from_samples
 from xclip_tpu.evals.zero_shot import OpenAIZeroShotClassifier
 from xclip_tpu.interp.circuit_model import VisualCircuitModel
 from xclip_tpu.interp.circuits import compute_class_circuit
+from xclip_tpu.interp.dictionary import IdentityDict, load_sae_dictionary, resolve_sae_checkpoint
 from xclip_tpu.models.factory import create_model
 from xclip_tpu.tokenizer import get_tokenizer
 
@@ -40,6 +41,20 @@ def main(args):
 
     clf = OpenAIZeroShotClassifier(model, params, tokenizer, domainnet_classes)
     circuit_model = VisualCircuitModel(model, params, state, clf.prompt_feat)
+
+    # dictionaries: neuron basis (IdentityDict, the reference's default) unless
+    # --sae_dir supplies trained SAEs for (some of) the submodules, in which
+    # case those layers get feature-basis circuits instead.
+    dictionaries = None
+    if args.sae_dir:
+        dictionaries = {}
+        for stage in circuit_model.stages:
+            ckpt_path = resolve_sae_checkpoint(args.sae_dir, stage.name)
+            dictionaries[stage.name] = (
+                load_sae_dictionary(ckpt_path) if ckpt_path else IdentityDict(stage.channels)
+            )
+        n_sae = sum(not isinstance(d, IdentityDict) for d in dictionaries.values())
+        print(f"Using SAE dictionaries for {n_sae}/{len(dictionaries)} submodules from {args.sae_dir}")
 
     for domain in domains:
         data = DomainNetCaptions(
@@ -66,6 +81,7 @@ def main(args):
             compute_class_circuit(
                 circuit_model, images, label,
                 node_threshold=args.node_threshold, out_folder=out_folder,
+                dictionaries=dictionaries,
             )
     print("Done.")
 
@@ -83,6 +99,10 @@ if __name__ == "__main__":
     parser.add_argument("--samples_per_class", type=int, default=50)
     parser.add_argument("--regenerate", action="store_true")
     parser.add_argument("--node_threshold", type=float, default=0.1)
+    parser.add_argument("--sae_dir", type=str, default=None,
+                        help="directory of trained SAE checkpoints ({submodule}.pt/.npz or "
+                        "{submodule}/checkpoints/sparse_autoencoder_final.pt); layers without "
+                        "one fall back to the neuron basis (IdentityDict)")
     parser.add_argument("--edge_threshold", type=float, default=0.01)
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())

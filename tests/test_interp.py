@@ -222,6 +222,43 @@ class TestCircuitProtocol:
         sim = wl_kernel_similarity([g, g], h=2)
         np.testing.assert_allclose(sim, np.ones((2, 2)), atol=1e-6)
 
+    def test_sae_basis_circuit(self, circuit_model, tmp_path):
+        """Feature-basis circuits: one layer gets a trained-SAE dictionary
+        (loaded from disk via the --sae_dir resolution path), the rest stay
+        in the neuron basis."""
+        import jax
+
+        from xclip_tpu.interp.dictionary import (
+            IdentityDict,
+            load_sae_dictionary,
+            resolve_sae_checkpoint,
+        )
+        from xclip_tpu.sae.model import SAECfg, sae_init, sae_params_to_state_dict
+
+        target = "resblock2"
+        channels = {s.name: s.channels for s in circuit_model.stages}
+        sae_params = sae_init(jax.random.PRNGKey(1), SAECfg(channels[target], channels[target] * 2))
+        np.savez(tmp_path / f"{target}.npz", **sae_params_to_state_dict(sae_params))
+
+        ckpt = resolve_sae_checkpoint(str(tmp_path), target)
+        assert ckpt and ckpt.endswith(f"{target}.npz")
+        assert resolve_sae_checkpoint(str(tmp_path), "resblock1") is None
+        sae_dict = load_sae_dictionary(ckpt)
+        assert sae_dict.dict_size == channels[target] * 2
+
+        dictionaries = {
+            name: sae_dict if name == target else IdentityDict(c) for name, c in channels.items()
+        }
+        x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+        nodes, features, edges = compute_class_circuit(
+            circuit_model, x, label=2, node_threshold=0.25, steps=3,
+            dictionaries=dictionaries, compute_edge_effects=True,
+        )
+        # the SAE layer's nodes live in the (wider) feature basis
+        assert nodes[target].act.shape == (channels[target] * 2,)
+        assert nodes["resblock1"].act.shape == (channels["resblock1"],)
+        assert features[target].max() < channels[target] * 2
+
     def test_node_similarity(self):
         rng = np.random.RandomState(0)
         a = rng.randn(40)

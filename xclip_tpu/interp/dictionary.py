@@ -9,11 +9,13 @@ same interface for feature-level circuits.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import os
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-from xclip_tpu.sae.model import sae_apply
+from xclip_tpu.sae.model import sae_apply, sae_state_dict_to_params
 
 
 class Dictionary:
@@ -67,3 +69,46 @@ class SAEDictionary(Dictionary):
     def forward_for_sfc(self, x):
         learned, decoded = sae_apply(self.params, x)
         return decoded, learned
+
+
+def load_sae_dictionary(path: str) -> SAEDictionary:
+    """Load a trained SAE checkpoint (.pt torch state dict or .npz from
+    xclip_tpu.sae.pipeline) as a circuit dictionary. Single-component
+    checkpoints with a leading (1, ...) component axis are squeezed."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            sd = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in torch.load(path, map_location="cpu", weights_only=False).items()
+        }
+    params = sae_state_dict_to_params(sd)
+    for holder, key in (
+        (params, "tied_bias"),
+        (params["encoder"], "weight"),
+        (params["encoder"], "bias"),
+        (params["decoder"], "weight"),
+    ):
+        v = holder[key]
+        if v.ndim > (2 if key == "weight" else 1) and v.shape[0] == 1:
+            holder[key] = v[0]
+    return SAEDictionary(params)
+
+
+def resolve_sae_checkpoint(sae_dir: str, submodule: str) -> Optional[str]:
+    """Find the checkpoint for ``submodule`` under ``sae_dir``. Accepts a
+    flat ``{submodule}.pt``/``.npz`` or the training pipeline's nested
+    ``{submodule}/checkpoints/sparse_autoencoder_final.{pt,npz}`` layout."""
+    candidates = [
+        os.path.join(sae_dir, f"{submodule}.pt"),
+        os.path.join(sae_dir, f"{submodule}.npz"),
+        os.path.join(sae_dir, submodule, "checkpoints", "sparse_autoencoder_final.pt"),
+        os.path.join(sae_dir, submodule, "checkpoints", "sparse_autoencoder_final.npz"),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None

@@ -97,7 +97,7 @@ def remove_parallel_gradient(params: Dict, grads: Dict) -> Dict:
 # torch checkpoint bridge
 
 
-def sae_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: SAECfg) -> Dict:
+def sae_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: Optional[SAECfg] = None) -> Dict:
     """Map a reference SAE torch state dict onto our params (identical
     layouts; handles both private `_weight` and public `weight` key forms)."""
 

@@ -163,7 +163,10 @@ class Pipeline:
         try:
             import torch
 
-            sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sae_params_to_state_dict(self.params).items()}
+            sd = {
+                k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                for k, v in sae_params_to_state_dict(self.params).items()
+            }
             torch.save(sd, path)
         except ImportError:  # pragma: no cover
             path = path.replace(".pt", ".npz")
