@@ -143,3 +143,64 @@ def test_generate_beam_search():
     # beam result should be at least as likely as greedy under the model —
     # sanity: it is a valid token sequence (ids within vocab)
     assert out.max() < 512 and out.min() >= 0
+
+
+class TestGroupedBeamSearch:
+    """The reference's default generation is grouped beam search
+    (coca_model.py:323-473, num_beams=6 / num_beam_groups=3). The installed
+    transformers no longer exports BeamSearchScorer, so the reference path
+    itself cannot run here; these are behavioral property tests instead."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = CoCaModel(coca_cfg_from_dict(SMALL_COCA))
+        params = model.init(jax.random.PRNGKey(0))
+        images, _ = _inputs()
+        return model, params, images
+
+    def _seq_logprob(self, model, params, images, seq, eos=501):
+        """Length-normalized model log-prob of tokens[1:] (up to+incl. EOS)."""
+        _, image_embs = model.encode_image_with_tokens(params, images)
+        _, token_embs = model.encode_text_with_tokens(params, jnp.asarray(seq))
+        logits = np.asarray(model.decode(params, image_embs, token_embs))
+        logp = logits - logits.max(-1, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+        scores = []
+        for b in range(seq.shape[0]):
+            total, n = 0.0, 0
+            for pos in range(1, seq.shape[1]):
+                tok = int(seq[b, pos])
+                total += logp[b, pos - 1, tok]
+                n += 1
+                if tok == eos:
+                    break
+            scores.append(total / max(n, 1))
+        return np.array(scores)
+
+    def test_groups_run_and_deterministic(self, setup):
+        model, params, images = setup
+        kw = dict(seq_len=8, sot_token_id=500, eos_token_id=501,
+                  generation_type="beam_search", min_seq_len=2)
+        for beams, groups in [(4, 2), (4, 4), (6, 3)]:
+            a = model.generate(params, images, num_beams=beams, num_beam_groups=groups, **kw)
+            b = model.generate(params, images, num_beams=beams, num_beam_groups=groups, **kw)
+            np.testing.assert_array_equal(a, b)
+            assert a.shape == (2, 8) and (a[:, 0] == 500).all()
+
+    def test_indivisible_raises(self, setup):
+        model, params, images = setup
+        with pytest.raises(ValueError):
+            model.generate(params, images, seq_len=6, generation_type="beam_search",
+                           num_beams=5, num_beam_groups=3)
+
+    def test_beam_beats_greedy(self, setup):
+        """With one group, beam search must find sequences at least as likely
+        (length-normalized) as greedy decoding."""
+        model, params, images = setup
+        kw = dict(seq_len=8, sot_token_id=500, eos_token_id=501, min_seq_len=2)
+        beam = model.generate(params, images, generation_type="beam_search",
+                              num_beams=4, num_beam_groups=1, **kw)
+        greedy = model.generate(params, images, generation_type="top_k", top_k=1, **kw)
+        s_beam = self._seq_logprob(model, params, images, beam)
+        s_greedy = self._seq_logprob(model, params, images, greedy)
+        assert (s_beam >= s_greedy - 1e-4).all(), (s_beam, s_greedy)

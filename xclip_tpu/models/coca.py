@@ -277,6 +277,7 @@ class CoCaModel:
         temperature: float = 1.0,
         min_seq_len: int = 5,
         num_beams: int = 6,
+        num_beam_groups: int = 3,
         seed: int = 0,
     ) -> np.ndarray:
         """Autoregressive captioning (reference generate:192-305, top_k/top_p
@@ -294,6 +295,7 @@ class CoCaModel:
                 params, image_embs, b, seq_len=seq_len, sot_token_id=sot_token_id,
                 eos_token_id=eos_token_id, pad_token_id=pad_token_id,
                 min_seq_len=min_seq_len, num_beams=num_beams,
+                num_beam_groups=num_beam_groups,
             )
 
         rng = np.random.RandomState(seed)
@@ -343,24 +345,40 @@ class CoCaModel:
         pad_token_id: int,
         min_seq_len: int,
         num_beams: int = 6,
+        num_beam_groups: int = 3,
+        length_penalty: float = 1.0,
     ) -> np.ndarray:
-        """Standard beam search (the reference's default generation path,
-        coca_model.py:307-473; diverse beam groups not implemented — plain
-        beams == num_beam_groups=1)."""
+        """Grouped beam search (the reference's default generation path,
+        coca_model.py:323-473 with HF BeamSearchScorer semantics:
+        ``num_beams`` split into ``num_beam_groups`` groups of sub-beams, top
+        2*group_size candidates per group per step, finished hypotheses move
+        to a per-group pool scored sum_logp / len**length_penalty, and the
+        overall best pooled hypothesis per image is returned). All beams of
+        all groups decode in ONE jitted step per position."""
         import jax as _jax
+
+        if num_beams % num_beam_groups != 0:
+            raise ValueError(f"num_beams={num_beams} must be divisible by num_beam_groups={num_beam_groups}")
+        sub = num_beams // num_beam_groups
 
         @_jax.jit
         def step_logits(p, img_embs, tokens):
             _, token_embs = self.encode_text_with_tokens(p, tokens)
             return self.decode(p, img_embs, token_embs)
 
-        # expand image embs per beam: (B*num_beams, Q, E)
+        # expand image embs per beam: (B*num_beams, Q, E); flat beam row
+        # layout is bi*num_beams + gi*sub + k
         img = np.repeat(np.asarray(image_embs), num_beams, axis=0)
         tokens = np.full((batch * num_beams, seq_len), pad_token_id, np.int32)
         tokens[:, 0] = sot_token_id
-        beam_scores = np.zeros((batch, num_beams), np.float64)
-        beam_scores[:, 1:] = -1e9  # first step: only beam 0 contributes
-        done = np.zeros(batch * num_beams, bool)
+        # first sub-beam of each group live, the rest suppressed
+        # (reference coca_model.py:368-372)
+        beam_scores = np.full((batch, num_beam_groups, sub), -1e9)
+        beam_scores[:, :, 0] = 0.0
+        # per (image, group) pool of finished hypotheses: list of (score, ids)
+        hyps = [[[] for _ in range(num_beam_groups)] for _ in range(batch)]
+        group_done = np.zeros((batch, num_beam_groups), bool)
+        cur_len = 1
 
         for pos in range(1, seq_len):
             logits = np.array(step_logits(params, jnp.asarray(img), jnp.asarray(tokens)))[:, pos - 1]
@@ -368,33 +386,64 @@ class CoCaModel:
                 logits[:, eos_token_id] = -1e30
             logp = logits - logits.max(-1, keepdims=True)
             logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
-            logp[done] = -1e30
-            logp[done, pad_token_id] = 0.0  # finished beams keep padding
-
             vocab = logp.shape[-1]
-            total = beam_scores.reshape(-1, 1) + logp  # (B*beams, V)
-            total = total.reshape(batch, num_beams * vocab)
-            top_idx = np.argsort(-total, axis=-1)[:, :num_beams]
-            top_scores = np.take_along_axis(total, top_idx, axis=-1)
-            beam_src = top_idx // vocab  # which beam it came from
-            tok = (top_idx % vocab).astype(np.int32)
+            logp = logp.reshape(batch, num_beam_groups, sub, vocab)
 
-            new_tokens = np.empty_like(tokens)
-            new_done = np.empty_like(done)
             for bi in range(batch):
-                for k in range(num_beams):
-                    src = bi * num_beams + beam_src[bi, k]
-                    dst = bi * num_beams + k
-                    new_tokens[dst] = tokens[src]
-                    new_tokens[dst, pos] = tok[bi, k]
-                    new_done[dst] = done[src] or tok[bi, k] == eos_token_id
-            tokens, done = new_tokens, new_done
-            beam_scores = top_scores
-            if done.all():
+                for gi in range(num_beam_groups):
+                    if group_done[bi, gi]:
+                        continue
+                    base = bi * num_beams + gi * sub
+                    cand = (beam_scores[bi, gi][:, None] + logp[bi, gi]).reshape(-1)
+                    top = np.argsort(-cand)[: 2 * sub]
+                    rows, live = tokens[base : base + sub].copy(), 0
+                    new_scores = np.full(sub, -1e9)
+                    for rank, t in enumerate(top):
+                        src, tok = t // vocab, int(t % vocab)
+                        if tok == eos_token_id:
+                            # only candidates ranked within the top sub may
+                            # finish (HF BeamSearchScorer.process)
+                            if rank < sub:
+                                seq = rows[src, :pos].copy()
+                                hyps[bi][gi].append((cand[t] / (pos ** length_penalty), seq))
+                            continue
+                        tokens[base + live] = rows[src]
+                        tokens[base + live, pos] = tok
+                        new_scores[live] = cand[t]
+                        live += 1
+                        if live == sub:
+                            break
+                    beam_scores[bi, gi] = new_scores
+                    # is_done (early_stopping=False): no live continuation can
+                    # beat the worst kept hypothesis
+                    if len(hyps[bi][gi]) >= sub:
+                        worst = sorted(h[0] for h in hyps[bi][gi])[-sub]
+                        best_possible = new_scores.max() / ((pos + 1) ** length_penalty)
+                        if worst >= best_possible:
+                            group_done[bi, gi] = True
+            cur_len = pos + 1
+            if group_done.all():
                 break
 
-        best = beam_scores.argmax(axis=-1)
-        return np.stack([tokens[bi * num_beams + best[bi]] for bi in range(batch)])
+        # finalize: unfinished groups contribute their live beams
+        out = np.full((batch, seq_len), pad_token_id, np.int32)
+        for bi in range(batch):
+            pool = []
+            for gi in range(num_beam_groups):
+                pool.extend(hyps[bi][gi])
+                if not group_done[bi, gi]:
+                    base = bi * num_beams + gi * sub
+                    for k in range(sub):
+                        if beam_scores[bi, gi, k] > -1e8:
+                            pool.append(
+                                (beam_scores[bi, gi, k] / (cur_len ** length_penalty),
+                                 tokens[base + k, :cur_len].copy())
+                            )
+            best = max(pool, key=lambda h: h[0])[1]
+            out[bi, : len(best)] = best
+            if len(best) < seq_len:
+                out[bi, len(best)] = eos_token_id
+        return out
 
 
 def coca_loss(
