@@ -24,6 +24,7 @@ def main():
     import jax
     import numpy as np
 
+    from xclip_tpu.core.precision import get_policy
     from xclip_tpu.models.factory import create_model
     from xclip_tpu.parallel.mesh import create_mesh, shard_batch
     from xclip_tpu.train import optim, schedule
@@ -65,11 +66,33 @@ def main():
 
     imgs_per_sec = global_batch * steps / dt
     per_chip = imgs_per_sec / n_chips
+
+    # secondary: eval-path (encode_image, the LSO feature-extraction hot
+    # loop) throughput — reported as an extra key on the same JSON line.
+    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
+    eval_imgs = jax.device_put(rng.randn(eval_batch, size, size, 3).astype(np.float32))
+
+    @jax.jit
+    def encode(p, s, images):
+        feats, _, _ = model.encode_image(
+            p, images, state=s, normalize=True, dtype=get_policy("bf16").compute_dtype
+        )
+        return feats
+
+    feats = encode(params, state, eval_imgs)
+    float(np.asarray(feats)[0, 0])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        feats = encode(params, state, eval_imgs)
+    float(np.asarray(feats)[0, 0])
+    eval_per_chip = eval_batch * steps / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": f"{model_name} CLIP train throughput",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        "eval_images_per_sec_per_chip": round(eval_per_chip, 2),
     }))
 
 
