@@ -179,3 +179,31 @@ def test_build_model_from_state_dict_inference():
         f1, _, _ = model.encode_image(params, x, state=state)
         f2, _, _ = model2.encode_image(params2, x, state=state2)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_orbax_roundtrip_sync_and_async(tmp_path):
+    """save_orbax/load_orbax roundtrip; async_save overlaps and defers the
+    extras.json sidecar until wait_until_finished()."""
+    from xclip_tpu.core.checkpoint import load_orbax, save_orbax
+
+    model = CLIPModel(clip_cfg_from_dict(SMALL_RN))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    sync_dir = str(tmp_path / "sync_ckpt")
+    save_orbax(sync_dir, params, state, extras={"epoch": 3})
+    p2, s2, extras = load_orbax(sync_dir, params, state)
+    assert extras == {"epoch": 3}
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool(np.array_equal(a, b)), params, p2)
+    )
+
+    async_dir = str(tmp_path / "async_ckpt")
+    handle = save_orbax(async_dir, params, state, extras={"epoch": 7}, async_save=True)
+    assert handle is not None
+    handle.wait_until_finished()
+    handle.wait_until_finished()  # idempotent
+    p3, _, extras3 = load_orbax(async_dir, params, state)
+    assert extras3 == {"epoch": 7}
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool(np.array_equal(a, b)), params, p3)
+    )

@@ -461,15 +461,43 @@ def load_native(path: str, model=None, params=None, state=None):
     return pflat, sflat, extras
 
 
-def save_orbax(path: str, params, state, extras: Optional[dict] = None) -> None:
-    """Orbax checkpoint (async-capable, sharding-aware) for very large runs."""
+class AsyncSaveHandle:
+    """Pending async orbax save. ``wait_until_finished()`` blocks until the
+    checkpoint directory is finalized, then writes the extras.json sidecar
+    (it cannot be written earlier: orbax stages into a tmp dir and renames
+    on finish)."""
+
+    def __init__(self, ckptr, path: str, extras: Optional[dict]):
+        self._ckptr = ckptr
+        self._path = path
+        self._extras = extras
+        self._done = False
+
+    def wait_until_finished(self) -> None:
+        if self._done:
+            return
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(self._path, "extras.json"), "w") as fh:
+            json.dump(self._extras or {}, fh)
+        self._done = True
+
+
+def save_orbax(
+    path: str, params, state, extras: Optional[dict] = None, *, async_save: bool = False
+) -> Optional[AsyncSaveHandle]:
+    """Orbax checkpoint (sharding-aware) for very large runs. With
+    ``async_save=True`` the save overlaps training: device arrays are staged
+    to host and the returned handle's ``wait_until_finished()`` must be
+    called before the checkpoint is read (or another save starts)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), {"params": params, "state": state}, force=True)
-    ckptr.wait_until_finished()
-    with open(os.path.join(path, "extras.json"), "w") as fh:
-        json.dump(extras or {}, fh)
+    handle = AsyncSaveHandle(ckptr, path, extras)
+    if async_save:
+        return handle
+    handle.wait_until_finished()
+    return None
 
 
 def load_orbax(path: str, params, state):
