@@ -75,6 +75,28 @@ class TestWds:
         samples = list(reader)
         assert samples[0]["text"] == "caption 0"
 
+    def test_parallel_workers(self, tmp_path):
+        """num_workers>0: disjoint shard slices read by threads; every
+        sample arrives exactly once, and early consumer exit (epoch_size
+        truncation) unblocks the workers."""
+        import itertools as it
+
+        for i in range(4):
+            _build_tar(tmp_path / f"p-{i:03d}.tar", 6, start=i * 6)
+        url = str(tmp_path / "p-{000..003}.tar")
+        keys = sorted(s["__key__"] for s in WebDatasetReader(url, num_workers=3))
+        assert keys == sorted(s["__key__"] for s in WebDatasetReader(url))
+        assert len(keys) == 24 == len(set(keys))
+        # more workers than shards is clamped; still exact coverage
+        assert len(list(WebDatasetReader(url, num_workers=16))) == 24
+        # early exit: take 5 of 24 then drop the iterator
+        reader = WebDatasetReader(url, num_workers=2, prefetch=2)
+        first5 = list(it.islice(iter(reader), 5))
+        assert len(first5) == 5
+        # batched() over the parallel reader still yields full batches
+        batches = list(WebDatasetReader(url, num_workers=2).batched(6))
+        assert len(batches) == 4 and batches[0]["images"].shape[0] == 6
+
     def test_weighted_resampling_frequencies(self, tmp_path):
         """Weighted shard upsampling within tolerance (reference
         test_wds.py:80-130)."""

@@ -89,3 +89,47 @@ def test_training_with_val_data(tmp_path):
     rec = json.loads(results.read_text().splitlines()[-1])
     assert "clip_val_loss" in rec and np.isfinite(rec["clip_val_loss"])
     assert "image_to_text_R@1" in rec
+
+
+def test_training_webdataset(tmp_path):
+    """--dataset-type webdataset end-to-end: tar shards -> parallel reader ->
+    WdsLoader -> sharded train step (reference get_wds_dataset path)."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for s in range(2):
+        with tarfile.open(shard_dir / f"train-{s:03d}.tar", "w") as tf:
+            for i in range(16):
+                img = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                info = tarfile.TarInfo(f"{s:03d}{i:04d}.jpg")
+                info.size = len(buf.getvalue())
+                tf.addfile(info, io.BytesIO(buf.getvalue()))
+                cap = f"a photo number {i}".encode()
+                info = tarfile.TarInfo(f"{s:03d}{i:04d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+    args = _args(tmp_path, "wds-smoke", [
+        "--train-data", str(shard_dir / "train-{000..001}.tar"),
+    ])
+    idx = args.index("--dataset-type")
+    args[idx + 1] = "webdataset"
+    assert main(args) == 0
+    assert (tmp_path / "wds-smoke" / "checkpoints" / "epoch_1.pt").exists()
+
+
+def test_training_webdataset_requires_num_samples(tmp_path):
+    args = _args(tmp_path, "wds-missing", ["--train-data", str(tmp_path / "x-{000..001}.tar")])
+    idx = args.index("--dataset-type")
+    args[idx + 1] = "webdataset"
+    idx = args.index("--train-num-samples")
+    del args[idx:idx + 2]
+    with pytest.raises(ValueError, match="train-num-samples"):
+        main(args)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import itertools
+import math
 import json
 import logging
 import random
@@ -179,6 +180,8 @@ class WebDatasetReader:
         rank: int = 0,
         world_size: int = 1,
         handler: Callable = log_and_continue,
+        num_workers: int = 0,
+        prefetch: int = 256,
     ):
         self.urls = expand_urls(urls)
         self.transform = transform
@@ -191,6 +194,8 @@ class WebDatasetReader:
         self.rank = rank
         self.world_size = world_size
         self.handler = handler
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -229,18 +234,73 @@ class WebDatasetReader:
             caption = meta.get("caption", meta.get("txt", ""))
         return {"image": image, "text": caption, "__key__": sample["__key__"]}
 
-    def __iter__(self) -> Iterator[Dict]:
-        shards = self._shard_stream()
+    def _pipeline(self, shards: Iterator[str], shuffle_salt: int = 0) -> Iterator[Dict]:
         files = tar_file_expander(shards, handler=self.handler)
         samples = group_by_keys_nothrow(files)
         samples = filter(filter_no_caption_or_no_image, samples)
         if self.shuffle:
-            rng = random.Random(self.seed + self.epoch + 1)
+            rng = random.Random(self.seed + self.epoch + 1 + shuffle_salt)
             samples = buffered_shuffle(samples, _SAMPLE_SHUFFLE_SIZE, _SAMPLE_SHUFFLE_INITIAL, rng)
         for sample in samples:
             decoded = self._decode(sample)
             if decoded is not None:
                 yield decoded
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.num_workers <= 0:
+            yield from self._pipeline(self._shard_stream())
+            return
+        yield from self._parallel_iter()
+
+    def _parallel_iter(self) -> Iterator[Dict]:
+        """Multi-shard parallel read: each worker thread drives the full
+        expand->group->decode pipeline over a disjoint round-robin shard
+        slice (the reference's torch-DataLoader num_workers split,
+        deps/open_clip/src/training/data.py worker sharding), merging into
+        a bounded queue. Sample order is nondeterministic across workers,
+        like the reference; use num_workers=0 for deterministic order."""
+        import queue
+        import threading
+
+        shards = list(self._shard_stream())
+        n = min(self.num_workers, max(len(shards), 1))
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _DONE = object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def work(wid: int) -> None:
+            try:
+                for sample in self._pipeline(iter(shards[wid::n]), shuffle_salt=wid):
+                    if not put(sample):
+                        return
+            finally:
+                put(_DONE)
+
+        threads = [threading.Thread(target=work, args=(w,), daemon=True) for w in range(n)]
+        for t in threads:
+            t.start()
+        try:
+            live = n
+            while live:
+                item = q.get()
+                if item is _DONE:
+                    live -= 1
+                    continue
+                yield item
+            for t in threads:
+                t.join()
+        finally:
+            # consumer exited early (e.g. epoch_size slice): unblock workers
+            stop.set()
 
     def batched(self, batch_size: int, *, tokenizer=None, epoch_size: Optional[int] = None) -> Iterator[Dict]:
         """Fixed-size (images, texts) batches; ``epoch_size`` truncates an
@@ -257,3 +317,54 @@ class WebDatasetReader:
             if tokenizer is not None:
                 texts = tokenizer(texts)
             yield {"images": images, "texts": texts}
+
+
+class WdsLoader:
+    """DataLoader-interface adapter over :class:`WebDatasetReader` for the
+    training session (reference get_wds_dataset, deps/open_clip/src/training/
+    data.py:309-412: webdataset pipeline + num_samples bookkeeping from
+    --train-num-samples). Exposes set_epoch / num_batches / num_samples and
+    yields {"images", "texts"} batches like the map-style DataLoader."""
+
+    def __init__(
+        self,
+        reader: WebDatasetReader,
+        batch_size: int,
+        *,
+        tokenizer=None,
+        num_samples: int,
+        drop_last: bool = True,
+    ):
+        if num_samples <= 0:
+            raise ValueError(
+                "webdataset requires the number of train samples "
+                "(--train-num-samples), like the reference"
+            )
+        self.reader = reader
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self._num_samples = num_samples
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        self.reader.set_epoch(epoch)
+
+    @property
+    def num_batches(self) -> int:
+        if self.drop_last:
+            return self._num_samples // self.batch_size
+        return math.ceil(self._num_samples / self.batch_size)
+
+    @property
+    def num_samples(self) -> int:
+        return self.num_batches * self.batch_size if self.drop_last else self._num_samples
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        yield from itertools.islice(
+            self.reader.batched(self.batch_size, tokenizer=self.tokenizer,
+                                epoch_size=self._num_samples),
+            self.num_batches,
+        )

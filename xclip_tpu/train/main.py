@@ -58,10 +58,30 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
     dataset_type = args.dataset_type
     if dataset_type == "auto" and args.train_data:
         ext = args.train_data.split(".")[-1]
-        dataset_type = "csv" if ext in ("csv", "tsv") else "synthetic"
+        if ext == "tar":
+            dataset_type = "webdataset"  # reference get_dataset_fn data.py:560
+        else:
+            dataset_type = "csv" if ext in ("csv", "tsv") else "synthetic"
 
     info = DistInfo.current()
-    if args.train_data and dataset_type in ("csv", "tsv"):
+    if args.train_data and dataset_type == "webdataset":
+        from xclip_tpu.data.wds import WdsLoader, WebDatasetReader
+
+        reader = WebDatasetReader(
+            args.train_data,
+            transform=preprocess_train,
+            resampled=getattr(args, "dataset_resampled", False),
+            shuffle=True,
+            seed=args.seed,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+            num_workers=args.workers,
+        )
+        data["train"] = WdsLoader(
+            reader, args.batch_size * args.accum_freq * jax.device_count(),
+            tokenizer=tokenizer, num_samples=args.train_num_samples or 0,
+        )
+    elif args.train_data and dataset_type in ("csv", "tsv"):
         ds = TsvDataset(args.train_data, img_transform=preprocess_train)
         # per-step batch across all local devices (reference --batch-size is
         # per device: effective = batch * accum * world)

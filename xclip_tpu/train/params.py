@@ -18,7 +18,12 @@ def parse_args(args=None) -> argparse.Namespace:
     # data
     parser.add_argument("--train-data", type=str, default=None)
     parser.add_argument("--val-data", type=str, default=None)
-    parser.add_argument("--dataset-type", choices=["csv", "tsv", "synthetic", "auto"], default="auto")
+    parser.add_argument(
+        "--dataset-type",
+        choices=["csv", "tsv", "webdataset", "synthetic", "auto"],
+        default="auto",
+    )
+    parser.add_argument("--dataset-resampled", default=False, action="store_true")
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")
     parser.add_argument("--csv-caption-key", type=str, default="title")
