@@ -97,6 +97,25 @@ class TestWds:
         batches = list(WebDatasetReader(url, num_workers=2).batched(6))
         assert len(batches) == 4 and batches[0]["images"].shape[0] == 6
 
+    def test_rank_world_shard_split(self, tmp_path):
+        """Multi-host split: rank r of world W reads shards[r::W]; the union
+        over ranks covers every sample exactly once (reference per-worker
+        shard assignment), and composes with num_workers threading."""
+        for i in range(4):
+            _build_tar(tmp_path / f"w-{i:03d}.tar", 5, start=i * 5)
+        url = str(tmp_path / "w-{000..003}.tar")
+        all_keys = []
+        for rank in range(2):
+            keys = [
+                s["__key__"]
+                for s in WebDatasetReader(url, rank=rank, world_size=2, num_workers=2)
+            ]
+            assert len(keys) == 10
+            all_keys += keys
+        assert sorted(all_keys) == sorted(
+            s["__key__"] for s in WebDatasetReader(url)
+        )
+
     def test_weighted_resampling_frequencies(self, tmp_path):
         """Weighted shard upsampling within tolerance (reference
         test_wds.py:80-130)."""
