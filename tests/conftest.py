@@ -17,8 +17,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: repeated test runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# persistent compile cache: repeated test runs skip recompilation. Keyed by
+# a CPU-feature fingerprint — XLA:CPU AOT artifacts compiled on a host with
+# different vector extensions replay with shifted numerics (or SIGILL) when
+# the underlying machine changes, which broke golden-parity tolerances once.
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

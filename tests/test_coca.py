@@ -104,6 +104,15 @@ def test_coca_golden_parity():
         vision_cfg=SMALL_COCA["vision_cfg"],
     )
     ref.eval()
+    # the reference's text_decoder.text_projection is torch.empty and never
+    # initialized (uninitialized heap memory: NaN/denormals/1e38 garbage that
+    # varies per instantiation) — real checkpoints overwrite it; seed it so
+    # logits parity is numerically meaningful
+    with torch.no_grad():
+        proj = ref.text_decoder.text_projection
+        proj.copy_(torch.from_numpy(
+            np.random.RandomState(7).randn(*proj.shape).astype(np.float32) * 0.02
+        ))
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
     model = CoCaModel(coca_cfg_from_dict(SMALL_COCA))
@@ -123,11 +132,24 @@ def test_coca_golden_parity():
     # pad-query rows are fully masked and produce garbage in BOTH
     # implementations (softmax over -inf); compare only valid positions
     labels = ref_out["labels"].numpy()
-    valid = labels != 0
-    got_logits = np.asarray(out["logits"])[valid]
-    ref_logits = ref_out["logits"].numpy()[valid]
-    np.testing.assert_allclose(got_logits, ref_logits, atol=2e-3, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(out["labels"]), labels)
+
+    # logits parity on NON-padded text: with pad tokens present, the
+    # replicated cls-mask quirk makes fully-masked rows emit garbage/NaN in
+    # BOTH implementations, and that garbage propagates through later
+    # attention layers with backend-dependent values — any comparison on it
+    # is either vacuous (NaN==NaN) or flaky. Full-length text has no masked
+    # rows, so every logit is meaningful and parity is tight.
+    rng = np.random.RandomState(3)
+    full_text = rng.randint(1, 500, size=text.shape).astype(np.int64)
+    full_text[:, 0] = 500
+    with torch.no_grad():
+        ref_full = ref(torch.from_numpy(images).permute(0, 3, 1, 2), torch.from_numpy(full_text))
+    out_full = model.forward(params, images, full_text)
+    assert np.isfinite(ref_full["logits"].numpy()).all()
+    np.testing.assert_allclose(
+        np.asarray(out_full["logits"]), ref_full["logits"].numpy(), atol=2e-3, rtol=1e-3
+    )
 
 
 def test_generate_beam_search():

@@ -207,3 +207,34 @@ def test_orbax_roundtrip_sync_and_async(tmp_path):
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: bool(np.array_equal(a, b)), params, p3)
     )
+
+
+def test_vit_attentional_pool_parity():
+    """Plain-ViT attentional_pool (reference transformer.py:514-529, 625-629:
+    attn_pool -> ln_post -> tok pool -> proj): golden forward parity and
+    exact state-dict roundtrip through the bridge."""
+    import torch
+
+    cfg_dict = {
+        **SMALL_VIT,
+        "vision_cfg": {
+            **SMALL_VIT["vision_cfg"],
+            "attentional_pool": True, "attn_pooler_queries": 4, "attn_pooler_heads": 4,
+        },
+    }
+    ref = _build_ref_model(cfg_dict)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = CLIPModel(clip_cfg_from_dict(cfg_dict))
+    params, state = open_clip_state_dict_to_pytrees(sd, model)
+
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        f_ref = ref.encode_image(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    f, _, _ = model.encode_image(params, x, state=state)
+    np.testing.assert_allclose(np.asarray(f), f_ref, atol=5e-4, rtol=1e-3)
+
+    sd2 = pytrees_to_open_clip_state_dict(model, params, state)
+    for k in sd:
+        if k == "attn_mask":
+            continue
+        np.testing.assert_allclose(sd2[k], sd[k], atol=1e-6, err_msg=k)

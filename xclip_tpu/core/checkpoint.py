@@ -207,6 +207,29 @@ def _map_bn_state(flat, sd, base_out: str, base_in: str) -> None:
     flat[f"{base_out}{SEP}var"] = sd[f"{base_in}.running_var"]
 
 
+def _map_attn_pooler(flat, sd, d: int) -> None:
+    """visual.attn_pool.* (AttentionalPooler, reference transformer.py:471-500)
+    -> visual/attn_pool pytree. torch MHA packs in_proj only when q/k/v dims
+    match; otherwise separate q/k/v projection weights exist."""
+    ap = f"visual{SEP}attn_pool"
+    flat[f"{ap}{SEP}query"] = sd["visual.attn_pool.query"]
+    b = sd["visual.attn_pool.attn.in_proj_bias"]
+    if "visual.attn_pool.attn.q_proj_weight" in sd:
+        qw = sd["visual.attn_pool.attn.q_proj_weight"]
+        kw = sd["visual.attn_pool.attn.k_proj_weight"]
+        vw = sd["visual.attn_pool.attn.v_proj_weight"]
+    else:
+        w = sd["visual.attn_pool.attn.in_proj_weight"]
+        qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
+    qb, kb, vb = np.split(b, 3)
+    for name, wv, bv in (("q", qw, qb), ("k", kw, kb), ("v", vw, vb)):
+        flat[f"{ap}{SEP}attn{SEP}{name}{SEP}kernel"] = _lin(wv)
+        flat[f"{ap}{SEP}attn{SEP}{name}{SEP}bias"] = bv
+    _map_linear(flat, sd, f"{ap}{SEP}attn{SEP}out", "visual.attn_pool.attn.out_proj")
+    _map_ln(flat, sd, f"{ap}{SEP}ln_q", "visual.attn_pool.ln_q")
+    _map_ln(flat, sd, f"{ap}{SEP}ln_k", "visual.attn_pool.ln_k")
+
+
 def _map_linear(flat, sd, base_out: str, base_in: str) -> None:
     flat[f"{base_out}{SEP}kernel"] = _lin(sd[f"{base_in}.weight"])
     if f"{base_in}.bias" in sd:
@@ -344,6 +367,8 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         _map_ln(pflat, sd, f"{v}{SEP}ln_post", "visual.ln_post")
         for i in range(cfg.vision.layers):
             _map_block(pflat, sd, f"{v}{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
+        if "visual.attn_pool.query" in sd:
+            _map_attn_pooler(pflat, sd, cfg.embed_dim)
 
     params0, state0 = model.init(jax.random.PRNGKey(0))
     params = unflatten_into(params0, pflat)
@@ -426,6 +451,24 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
         put_ln("visual.ln_post", f"visual{SEP}ln_post")
         for i in range(cfg.vision.layers):
             put_block(f"visual.transformer.resblocks.{i}", f"visual{SEP}blocks{SEP}{i}", cfg.vision.width)
+        ap = f"visual{SEP}attn_pool"
+        if f"{ap}{SEP}query" in p:
+            sd["visual.attn_pool.query"] = p[f"{ap}{SEP}query"]
+            qw = p[f"{ap}{SEP}attn{SEP}q{SEP}kernel"].T
+            kw = p[f"{ap}{SEP}attn{SEP}k{SEP}kernel"].T
+            vw = p[f"{ap}{SEP}attn{SEP}v{SEP}kernel"].T
+            if qw.shape == kw.shape == vw.shape:
+                sd["visual.attn_pool.attn.in_proj_weight"] = np.concatenate([qw, kw, vw])
+            else:  # torch MHA keeps separate weights when kdim/vdim differ
+                sd["visual.attn_pool.attn.q_proj_weight"] = qw
+                sd["visual.attn_pool.attn.k_proj_weight"] = kw
+                sd["visual.attn_pool.attn.v_proj_weight"] = vw
+            sd["visual.attn_pool.attn.in_proj_bias"] = np.concatenate(
+                [p[f"{ap}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")]
+            )
+            put_lin("visual.attn_pool.attn.out_proj", f"{ap}{SEP}attn{SEP}out")
+            put_ln("visual.attn_pool.ln_q", f"{ap}{SEP}ln_q")
+            put_ln("visual.attn_pool.ln_k", f"{ap}{SEP}ln_k")
     return sd
 
 

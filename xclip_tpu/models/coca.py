@@ -479,6 +479,7 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Di
     from xclip_tpu.core.checkpoint import (
         SEP,
         _lin,
+        _map_attn_pooler,
         _map_block,
         _map_linear,
         _map_ln,
@@ -499,32 +500,8 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Di
         _map_block(flat, sd, f"visual{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
     _map_ln(flat, sd, f"visual{SEP}ln_post", "visual.ln_post")
     flat[f"visual{SEP}proj"] = sd["visual.proj"]
-    # attentional pooler
-    ap = f"visual{SEP}attn_pool"
-    flat[f"{ap}{SEP}query"] = sd["visual.attn_pool.query"]
-    w = sd["visual.attn_pool.attn.in_proj_weight"]
-    b = sd["visual.attn_pool.attn.in_proj_bias"]
-    d = cfg.embed_dim
-    # torch MHA with kdim/vdim packs q (d,d) then k,v (d,context) — for CoCa
-    # kdim==vdim==width; in_proj is packed only when q/k/v dims match, else
-    # separate q/k/v weights exist
-    if "visual.attn_pool.attn.q_proj_weight" in sd:
-        flat[f"{ap}{SEP}attn{SEP}q{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.q_proj_weight"])
-        flat[f"{ap}{SEP}attn{SEP}k{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.k_proj_weight"])
-        flat[f"{ap}{SEP}attn{SEP}v{SEP}kernel"] = _lin(sd["visual.attn_pool.attn.v_proj_weight"])
-        qb, kb, vb = np.split(b, 3)
-    else:
-        qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
-        flat[f"{ap}{SEP}attn{SEP}q{SEP}kernel"] = _lin(qw)
-        flat[f"{ap}{SEP}attn{SEP}k{SEP}kernel"] = _lin(kw)
-        flat[f"{ap}{SEP}attn{SEP}v{SEP}kernel"] = _lin(vw)
-        qb, kb, vb = np.split(b, 3)
-    flat[f"{ap}{SEP}attn{SEP}q{SEP}bias"] = qb
-    flat[f"{ap}{SEP}attn{SEP}k{SEP}bias"] = kb
-    flat[f"{ap}{SEP}attn{SEP}v{SEP}bias"] = vb
-    _map_linear(flat, sd, f"{ap}{SEP}attn{SEP}out", "visual.attn_pool.attn.out_proj")
-    _map_ln(flat, sd, f"{ap}{SEP}ln_q", "visual.attn_pool.ln_q")
-    _map_ln(flat, sd, f"{ap}{SEP}ln_k", "visual.attn_pool.ln_k")
+    # attentional pooler (shared mapper; handles packed vs separate q/k/v)
+    _map_attn_pooler(flat, sd, cfg.embed_dim)
 
     # text tower (custom-text layout: text.*)
     flat[f"text{SEP}token_embedding"] = sd["text.token_embedding.weight"]
