@@ -133,3 +133,27 @@ def test_training_webdataset_requires_num_samples(tmp_path):
     del args[idx:idx + 2]
     with pytest.raises(ValueError, match="train-num-samples"):
         main(args)
+
+
+def test_get_data_tar_autodetect(tmp_path):
+    """--dataset-type auto with .tar train data dispatches to the webdataset
+    loader (reference get_dataset_fn extension rule, data.py:560)."""
+    from xclip_tpu.data.wds import WdsLoader
+    from xclip_tpu.train.main import get_data
+    from xclip_tpu.train.params import parse_args
+
+    args = parse_args([
+        "--train-data", str(tmp_path / "x-{000..001}.tar"),
+        "--train-num-samples", "64",
+        "--batch-size", "2",
+        "--model", SMALL_MODEL,
+    ])
+    assert args.dataset_type == "auto"
+
+    from xclip_tpu.data.transforms import image_transform
+    from xclip_tpu.tokenizer import get_tokenizer
+
+    pre = image_transform(32, is_train=True)
+    data = get_data(args, pre, image_transform(32, is_train=False), get_tokenizer(SMALL_MODEL))
+    assert isinstance(data["train"], WdsLoader)
+    assert data["train"].num_batches == 64 // (2 * __import__("jax").device_count())
