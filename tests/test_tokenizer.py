@@ -58,3 +58,46 @@ def test_golden_parity_with_reference():
     expected = ref.tokenize(TEXTS).numpy()
     got = tokenize(TEXTS)
     assert np.array_equal(expected, got.astype(np.int64))
+
+
+class TestMaskTokenize:
+    """Masking tokenize variants (reference open_clip/tokenizer.py:280-401):
+    over-length captions reduce by sampling instead of truncation."""
+
+    LONG = " ".join(["word"] * 200)
+
+    def test_random_mask_shapes_and_short_passthrough(self):
+        from xclip_tpu.tokenizer import random_mask_tokenize, tokenize
+
+        rng = np.random.RandomState(0)
+        out = random_mask_tokenize([self.LONG, "a cat"], context_length=16, rng=rng)
+        assert out.shape == (2, 16)
+        tok = SimpleTokenizer()
+        # over-length row: sot first, eot at position num_keep+1, fully packed
+        assert out[0, 0] == tok.sot_token_id and out[0, 15] == tok.eot_token_id
+        assert (out[0, 1:15] != 0).all()
+        # short row matches plain tokenize
+        np.testing.assert_array_equal(out[1], tokenize("a cat", context_length=16)[0])
+
+    def test_simple_mask_contiguous_window(self):
+        from xclip_tpu.tokenizer import simple_mask_tokenize
+
+        tok = SimpleTokenizer()
+        text = " ".join(f"w{i}" for i in range(60))
+        full = tok.encode(text)
+        rng = np.random.RandomState(1)
+        out = simple_mask_tokenize([text], context_length=12, rng=rng)[0]
+        inner = [int(t) for t in out[1:11]]
+        # the kept tokens are a contiguous slice of the full encoding
+        joined = ",".join(map(str, full))
+        assert ",".join(map(str, inner)) in joined
+        assert out[0] == tok.sot_token_id and out[11] == tok.eot_token_id
+
+    def test_syntax_mask_gated(self):
+        from xclip_tpu.tokenizer import syntax_mask_tokenize
+
+        try:
+            import nltk  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="nltk"):
+                syntax_mask_tokenize("a cat", context_length=8)

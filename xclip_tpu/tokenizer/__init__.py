@@ -5,6 +5,9 @@ from xclip_tpu.tokenizer.bpe import (  # noqa: F401
     canonicalize_text,
     decode,
     get_tokenizer,
+    random_mask_tokenize,
+    simple_mask_tokenize,
+    syntax_mask_tokenize,
     tokenize,
     whitespace_clean,
 )

@@ -227,6 +227,106 @@ class SimpleTokenizer:
         return result
 
 
+# ---------------------------------------------------------------------------
+# masking tokenize variants (reference open_clip/tokenizer.py:280-401):
+# over-length captions are reduced by token *sampling* instead of truncation.
+
+
+def random_mask_tokenize(
+    texts: Union[str, List[str]],
+    context_length: int = DEFAULT_CONTEXT_LENGTH,
+    *,
+    shuffle: bool = False,
+    tokenizer: Optional[SimpleTokenizer] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Keep a random subset of tokens when over-length (sorted to preserve
+    order unless ``shuffle``); reference tokenizer.py:280-306."""
+    tk = tokenizer or _default_tokenizer()
+    rng = rng or np.random
+    if isinstance(texts, str):
+        texts = [texts]
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        tokens = np.asarray(tk.encode(text))
+        if len(tokens) > context_length - 2:
+            indices = rng.permutation(len(tokens))[: context_length - 2]
+            if not shuffle:
+                indices = np.sort(indices)
+            tokens = tokens[indices]
+        n = len(tokens)
+        result[i, 0] = tk.sot_token_id
+        result[i, 1 : n + 1] = tokens
+        result[i, n + 1] = tk.eot_token_id
+    return result
+
+
+def simple_mask_tokenize(
+    texts: Union[str, List[str]],
+    context_length: int = DEFAULT_CONTEXT_LENGTH,
+    *,
+    tokenizer: Optional[SimpleTokenizer] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Keep a random contiguous window when over-length
+    (reference tokenizer.py:309-328)."""
+    tk = tokenizer or _default_tokenizer()
+    rng = rng or np.random
+    if isinstance(texts, str):
+        texts = [texts]
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        tokens = tk.encode(text)
+        if len(tokens) > context_length - 2:
+            num_keep = context_length - 2
+            start = int(rng.randint(0, len(tokens) - num_keep + 1))
+            tokens = tokens[start : start + num_keep]
+        seq = [tk.sot_token_id] + list(tokens) + [tk.eot_token_id]
+        result[i, : len(seq)] = seq
+    return result
+
+
+def syntax_mask_tokenize(
+    texts: Union[str, List[str]],
+    context_length: int = DEFAULT_CONTEXT_LENGTH,
+    *,
+    tokenizer: Optional[SimpleTokenizer] = None,
+) -> np.ndarray:
+    """Part-of-speech-prioritized masking (nouns > adjectives > verbs;
+    reference tokenizer.py:331-401). Requires nltk; raises ImportError with
+    guidance when it is unavailable (not baked into this image)."""
+    try:
+        import nltk
+    except ImportError as exn:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "syntax_mask_tokenize requires nltk, which is not available in "
+            "this environment; use random_mask_tokenize or simple_mask_tokenize"
+        ) from exn
+    tk = tokenizer or _default_tokenizer()
+    if isinstance(texts, str):
+        texts = [texts]
+
+    def order(word: str) -> int:  # pragma: no cover - nltk-dependent
+        pos = nltk.pos_tag([word])[0][1]
+        if pos.startswith("NN"):
+            return 1
+        if pos.startswith("JJ"):
+            return 2
+        if pos.startswith("VB"):
+            return 3
+        return 4
+
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):  # pragma: no cover - nltk-dependent
+        words = text.split()
+        ranks = np.argsort(np.argsort([order(w) for w in words], kind="stable"), kind="stable")
+        kept = [w for w, r in zip(words, ranks) if r < context_length - 2]
+        tokens = tk.encode(" ".join(kept))[: context_length - 2]
+        seq = [tk.sot_token_id] + list(tokens) + [tk.eot_token_id]
+        result[i, : len(seq)] = seq
+    return result
+
+
 @functools.lru_cache()
 def _default_tokenizer() -> SimpleTokenizer:
     return SimpleTokenizer()

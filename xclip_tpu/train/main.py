@@ -207,6 +207,22 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
     return params, state, opt_state
 
 
+def copy_codebase(args) -> int:
+    """Snapshot the framework source into <logs>/<name>/code for
+    reproducibility (reference training/main.py:506-520, --copy-codebase)."""
+    from shutil import copytree, ignore_patterns
+
+    new_code_path = os.path.join(args.logs, args.name, "code")
+    if os.path.exists(new_code_path):
+        print(f"Error. Experiment already exists at {new_code_path}. Use --name to specify a new experiment.")
+        return -1
+    logging.info(f"Copying codebase to {new_code_path}")
+    package_root = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+    copytree(package_root, new_code_path, ignore=ignore_patterns("log", "logs", "wandb", "__pycache__"))
+    logging.info("Done copying code.")
+    return 1
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
     info = DistInfo.current()
@@ -232,6 +248,9 @@ def main(argv=None) -> int:
         return -1
 
     setup_logging(args.log_path, logging.DEBUG if args.debug else logging.INFO)
+    if getattr(args, "copy_codebase", False):
+        if copy_codebase(args) == -1:
+            return -1
     args.checkpoint_path = os.path.join(log_base_path, "checkpoints")
     os.makedirs(args.checkpoint_path, exist_ok=True)
     args.save_logs = True

@@ -84,6 +84,7 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--log-every-n-steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--copy-codebase", default=False, action="store_true")
     # accepted-but-inert torch flags (single pjit program replaces them)
     for flag in ["--horovod", "--ddp-static-graph", "--torchcompile", "--trace",
                  "--use-bn-sync", "--skip-scheduler", "--use-bnb-linear"]:
