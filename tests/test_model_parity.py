@@ -238,3 +238,36 @@ def test_vit_attentional_pool_parity():
         if k == "attn_mask":
             continue
         np.testing.assert_allclose(sd2[k], sd[k], atol=1e-6, err_msg=k)
+
+
+def test_force_image_size_pos_embed_resize():
+    """--force-image-size: loading a ViT checkpoint at a different image size
+    bicubic-resizes the positional-embedding grid; matches the reference's
+    resize_pos_embed (open_clip/model.py:523-553) on the same weights."""
+    import torch
+
+    from xclip_tpu.models.factory import create_model, get_clip_cfg, get_model_config
+
+    m224, p224, s224 = create_model("ViT-S-32")
+    sd = pytrees_to_open_clip_state_dict(m224, p224, s224)
+
+    m160 = CLIPModel(get_clip_cfg("ViT-S-32", force_image_size=160))
+    p160, s160 = open_clip_state_dict_to_pytrees(sd, m160)
+    pe = np.asarray(p160["visual"]["positional_embedding"])
+    assert pe.shape[0] == (160 // 32) ** 2 + 1
+
+    x = np.random.RandomState(0).randn(2, 160, 160, 3).astype(np.float32)
+    f, _, _ = m160.encode_image(p160, x, state=s160, normalize=True)
+    assert np.isfinite(np.asarray(f)).all()
+
+    from ref_compat import import_reference_open_clip
+
+    oc = import_reference_open_clip()
+    c = get_model_config("ViT-S-32")
+    c["vision_cfg"]["image_size"] = 160
+    ref = oc.CLIP(embed_dim=c["embed_dim"], vision_cfg=c["vision_cfg"], text_cfg=c["text_cfg"])
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd.items()}
+    oc.model.resize_pos_embed(sd_t, ref)
+    np.testing.assert_allclose(pe, sd_t["visual.positional_embedding"].numpy(), atol=1e-6)
+
+    assert get_clip_cfg("ViT-S-32", force_patch_dropout=0.5).vision.patch_dropout == 0.5

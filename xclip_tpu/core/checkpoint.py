@@ -207,6 +207,31 @@ def _map_bn_state(flat, sd, base_out: str, base_in: str) -> None:
     flat[f"{base_out}{SEP}var"] = sd[f"{base_in}.running_var"]
 
 
+def _resize_vit_pos_embed(pe: np.ndarray, target_seq_len: int) -> np.ndarray:
+    """Bicubic-resize the ViT positional-embedding grid (cls token kept as
+    is) when loading a checkpoint at a different image size — the
+    reference's resize_pos_embed (open_clip/model.py:523-553), triggered by
+    --force-image-size."""
+    pe = np.asarray(pe)
+    if pe.shape[0] == target_seq_len:
+        return pe
+    import math as _math
+
+    import jax
+
+    tok, grid = pe[:1], pe[1:]
+    old = int(_math.sqrt(grid.shape[0]))
+    new = int(_math.sqrt(target_seq_len - 1))
+    if old * old != grid.shape[0] or new * new != target_seq_len - 1:
+        raise ValueError(
+            f"cannot resize pos embed {pe.shape[0]} -> {target_seq_len}: non-square grid"
+        )
+    resized = jax.image.resize(
+        grid.reshape(old, old, -1).astype(np.float32), (new, new, grid.shape[-1]), method="bicubic"
+    )
+    return np.concatenate([tok, np.asarray(resized).reshape(new * new, -1)]).astype(pe.dtype)
+
+
 def _map_attn_pooler(flat, sd, d: int) -> None:
     """visual.attn_pool.* (AttentionalPooler, reference transformer.py:471-500)
     -> visual/attn_pool pytree. torch MHA packs in_proj only when q/k/v dims
@@ -361,7 +386,9 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         v = "visual"
         pflat[f"{v}{SEP}conv1{SEP}kernel"] = _conv(sd["visual.conv1.weight"])
         pflat[f"{v}{SEP}class_embedding"] = sd["visual.class_embedding"]
-        pflat[f"{v}{SEP}positional_embedding"] = sd["visual.positional_embedding"]
+        pflat[f"{v}{SEP}positional_embedding"] = _resize_vit_pos_embed(
+            sd["visual.positional_embedding"], cfg.vision.seq_len
+        )
         pflat[f"{v}{SEP}proj"] = sd["visual.proj"]
         _map_ln(pflat, sd, f"{v}{SEP}ln_pre", "visual.ln_pre")
         _map_ln(pflat, sd, f"{v}{SEP}ln_post", "visual.ln_post")

@@ -44,11 +44,21 @@ def get_model_config(model_name: str) -> Optional[dict]:
     return deepcopy(cfg) if cfg is not None else None
 
 
-def get_clip_cfg(model_name: str, force_quick_gelu: bool = False) -> CLIPCfg:
+def get_clip_cfg(
+    model_name: str,
+    force_quick_gelu: bool = False,
+    force_image_size: Optional[int] = None,
+    force_patch_dropout: Optional[float] = None,
+) -> CLIPCfg:
     cfg = get_model_config(model_name)
     if cfg is None:
         raise RuntimeError(f"Model config for {model_name} not found; available: {list_models()}")
     quick_gelu = bool(cfg.pop("quick_gelu", False)) or force_quick_gelu
+    # config overrides (reference create_model, factory.py:224-238)
+    if force_image_size is not None:
+        cfg["vision_cfg"]["image_size"] = force_image_size
+    if force_patch_dropout is not None:
+        cfg["vision_cfg"]["patch_dropout"] = force_patch_dropout
     return clip_cfg_from_dict(cfg, quick_gelu=quick_gelu)
 
 
@@ -82,13 +92,17 @@ def create_model(
     pretrained: Optional[str] = None,
     precision: str = "fp32",
     force_quick_gelu: bool = False,
+    force_image_size: Optional[int] = None,
+    force_patch_dropout: Optional[float] = None,
     seed: int = 0,
 ) -> Tuple[CLIPModel, Dict, Dict]:
     """Create a model. ``pretrained`` may be a path to a torch ``.pt``
     open_clip/OpenAI checkpoint or an orbax/npz checkpoint saved by this
     framework. Returns (model, params, state). CoCa configs dispatch to
-    :func:`create_coca_model` (which returns (model, params))."""
-    model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu))
+    :func:`create_coca_model` (which returns (model, params)). With
+    ``force_image_size``, pretrained ViT positional embeddings are resized
+    to the new grid (the reference's resize_pos_embed, model.py:523-553)."""
+    model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu, force_image_size, force_patch_dropout))
     params, state = model.init(jax.random.PRNGKey(seed))
     if pretrained:
         from xclip_tpu.core.checkpoint import load_checkpoint
@@ -111,6 +125,8 @@ def create_model_and_transforms(
     pretrained: Optional[str] = None,
     precision: str = "fp32",
     force_quick_gelu: bool = False,
+    force_image_size: Optional[int] = None,
+    force_patch_dropout: Optional[float] = None,
     seed: int = 0,
 ):
     """Returns (model, params, state, preprocess_train, preprocess_val)."""
@@ -118,7 +134,8 @@ def create_model_and_transforms(
 
     model, params, state = create_model(
         model_name, pretrained=pretrained, precision=precision,
-        force_quick_gelu=force_quick_gelu, seed=seed,
+        force_quick_gelu=force_quick_gelu, force_image_size=force_image_size,
+        force_patch_dropout=force_patch_dropout, seed=seed,
     )
     image_size = model.cfg.image_size
     return (

@@ -294,7 +294,10 @@ def main(argv=None) -> int:
 
     model, params, state, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model, pretrained=args.pretrained or None, precision="fp32",
-        force_quick_gelu=args.force_quick_gelu, seed=args.seed,
+        force_quick_gelu=args.force_quick_gelu,
+        force_image_size=args.force_image_size,
+        force_patch_dropout=args.force_patch_dropout,
+        seed=args.seed,
     )
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)

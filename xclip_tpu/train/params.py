@@ -92,6 +92,7 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--dist-backend", type=str, default=None, help="no-op: JAX ICI/DCN")
     parser.add_argument("--device", type=str, default=None, help="no-op: uses jax.devices()")
     parser.add_argument("--force-image-size", type=int, default=None)
+    parser.add_argument("--force-patch-dropout", type=float, default=None)
 
     ns = parser.parse_args(args)
 
