@@ -335,3 +335,79 @@ def test_zero_shot_eval_in_training(tmp_path):
         assert res["imagenet-zeroshot-val-top5"] >= res["imagenet-zeroshot-val-top1"]
     finally:
         ev.IMAGENET_CLASSNAMES, ev.OPENAI_IMAGENET_TEMPLATES = orig_names, orig_tpl
+
+
+class TestTowerLocking:
+    """LiT-style --lock-image/--lock-text (reference main.py:268-276,
+    transformer.py lock groups, modified_resnet.py all-or-nothing)."""
+
+    def _vit_params(self):
+        from xclip_tpu.models.factory import create_model
+
+        return create_model("ViT-S-32")
+
+    def test_vit_group_mask(self):
+        from xclip_tpu.train.optim import lock_mask
+
+        model, params, state = self._vit_params()
+        n = len(params["visual"]["blocks"])
+        # fully locked image tower
+        m = lock_mask(params, lock_image=True)
+        assert not m["visual"]["conv1"]["kernel"]
+        assert not m["visual"]["proj"]
+        assert m["text"]["token_embedding"] and m["logit_scale"]
+        # last group = proj only
+        m = lock_mask(params, lock_image=True, lock_image_unlocked_groups=1)
+        assert m["visual"]["proj"]
+        assert not m["visual"]["ln_post"]["scale"]
+        # two groups: proj + (last block + ln_post)
+        m = lock_mask(params, lock_image=True, lock_image_unlocked_groups=2)
+        assert m["visual"]["ln_post"]["scale"]
+        assert m["visual"]["blocks"][n - 1]["attn"]["q"]["kernel"]
+        assert not m["visual"]["blocks"][n - 2]["attn"]["q"]["kernel"]
+
+    def test_text_lock_and_rn_all_or_nothing(self):
+        from xclip_tpu.models.factory import create_model
+        from xclip_tpu.train.optim import lock_mask
+
+        model, params, state = self._vit_params()
+        n = len(params["text"]["blocks"])
+        m = lock_mask(params, lock_text=True, lock_text_unlocked_layers=1,
+                      lock_text_freeze_layer_norm=True)
+        assert not m["text"]["token_embedding"]
+        assert m["text"]["blocks"][n - 1]["mlp"]["c_fc"]["kernel"]
+        assert not m["text"]["blocks"][n - 1]["ln_1"]["scale"]  # LN stays frozen
+        assert not m["text"]["blocks"][0]["mlp"]["c_fc"]["kernel"]
+
+        _, rn_params, _ = create_model("RN50")
+        m = lock_mask(rn_params, lock_image=True)
+        assert not m["visual"]["stem"]["conv1"]["kernel"]
+        with pytest.raises(ValueError, match="partial locking"):
+            lock_mask(rn_params, lock_image=True, lock_image_unlocked_groups=1)
+
+    def test_frozen_params_do_not_move(self):
+        import optax
+
+        from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+        from xclip_tpu.train.optim import adamw, lock_mask, with_frozen
+        from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+        model, params, state = self._vit_params()
+        mask = lock_mask(params, lock_image=True, lock_image_unlocked_groups=1)
+        tx = with_frozen(adamw(1e-2, weight_decay=0.1), mask)
+        mesh = create_mesh()
+        step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+        opt_state = tx.init(params)
+        rng = np.random.RandomState(0)
+        batch = shard_batch(mesh, {
+            "images": rng.randn(8, model.cfg.image_size, model.cfg.image_size, 3).astype(np.float32),
+            "texts": rng.randint(1, 1000, size=(8, 77)).astype(np.int32),
+        })
+        p0 = jax.tree_util.tree_map(np.asarray, params)
+        params2, *_ = step(params, state, opt_state, batch)
+        np.testing.assert_array_equal(np.asarray(params2["visual"]["conv1"]["kernel"]),
+                                      p0["visual"]["conv1"]["kernel"])
+        assert not np.array_equal(np.asarray(params2["visual"]["proj"]), p0["visual"]["proj"])
+        assert not np.array_equal(np.asarray(params2["text"]["token_embedding"]),
+                                  p0["text"]["token_embedding"])
+        del optax

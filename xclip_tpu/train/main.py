@@ -161,7 +161,11 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
         data_time_m.update(time.time() - end)
         gpu_start = time.time()
 
-        params, state, opt_state, metrics = step_fn(params, state, opt_state, batch)
+        params, new_state, opt_state, metrics = step_fn(params, state, opt_state, batch)
+        # --lock-image-freeze-bn-stats: keep the locked tower's BN running
+        # stats fixed (all model state IS visual BN stats)
+        if not (args.lock_image and args.lock_image_freeze_bn_stats):
+            state = new_state
         loss = float(metrics["loss"])  # hard sync
 
         gpu_time_m.update(time.time() - gpu_start)
@@ -324,6 +328,16 @@ def main(argv=None) -> int:
             sched, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
             weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm or 0.0,
         )
+        if args.lock_image or args.lock_text:
+            # LiT-style tower locking (reference main.py:268-276)
+            tx = optim.with_frozen(tx, optim.lock_mask(
+                params,
+                lock_image=args.lock_image,
+                lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+                lock_text=args.lock_text,
+                lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+                lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
+            ))
         opt_state = tx.init(params)
         distill = bool(args.distill_model and args.distill_pretrained)
         step_fn = make_train_step(

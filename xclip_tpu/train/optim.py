@@ -47,6 +47,71 @@ def wd_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def lock_mask(
+    params,
+    *,
+    lock_image: bool = False,
+    lock_image_unlocked_groups: int = 0,
+    lock_text: bool = False,
+    lock_text_unlocked_layers: int = 0,
+    lock_text_freeze_layer_norm: bool = True,
+) -> dict:
+    """LiT-style tower locking as a trainable mask (True = train).
+
+    Reference behaviour: --lock-image/--lock-text wiring
+    (training/main.py:268-276), VisionTransformer.lock groups
+    (transformer.py:534-566: [stem+ln_pre], blocks[:-1], [last block +
+    ln_post], proj — unlocked_groups keeps the last N trainable),
+    ModifiedResNet.lock (modified_resnet.py:154-159: all-or-nothing), and
+    text lock (hf_model.py:171: last N layers trainable, layer norms stay
+    frozen when freeze_layer_norm)."""
+    n_vis_blocks = len(params["visual"].get("blocks", ()))
+    is_vit = n_vis_blocks > 0
+    if lock_image and not is_vit and lock_image_unlocked_groups:
+        raise ValueError("partial locking not currently supported for this model")
+    n_text_blocks = len(params["text"]["blocks"])
+    # ViT group ids: 0 = stem(conv1/class/pos/ln_pre), 1..n-1 = blocks[:-1],
+    # n = last block + ln_post, n+1 = proj  -> total n+2 groups
+    n_groups = n_vis_blocks + 2
+
+    def decide(path, leaf):
+        del leaf
+        name = _path_name(path)
+        parts = name.split(".")
+        if parts[0] == "visual":
+            if not lock_image:
+                return True
+            if not is_vit:
+                return False
+            if parts[1] == "blocks":
+                idx = int(parts[2])
+                group = n_vis_blocks if idx == n_vis_blocks - 1 else 1 + idx
+            elif parts[1] == "ln_post":
+                group = n_vis_blocks
+            elif parts[1] == "proj":
+                group = n_vis_blocks + 1
+            else:  # conv1 / class_embedding / positional_embedding / ln_pre / attn_pool
+                group = 0
+            return group >= n_groups - lock_image_unlocked_groups
+        if parts[0] == "text":
+            if not lock_text:
+                return True
+            if parts[1] == "blocks" and int(parts[2]) >= n_text_blocks - lock_text_unlocked_layers:
+                if lock_text_freeze_layer_norm and ("ln_1" in parts or "ln_2" in parts):
+                    return False
+                return True
+            return False
+        return True  # logit_scale & friends stay trainable
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def with_frozen(tx: optax.GradientTransformation, trainable_mask) -> optax.GradientTransformation:
+    """Zero the updates of frozen leaves (requires_grad=False equivalent)."""
+    frozen = jax.tree_util.tree_map(lambda t: not t, trainable_mask)
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+
+
 def adamw(
     learning_rate: Union[float, Callable],
     *,

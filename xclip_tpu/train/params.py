@@ -34,6 +34,12 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--model", type=str, default="RN50")
     parser.add_argument("--pretrained", type=str, default="")
     parser.add_argument("--force-quick-gelu", action="store_true")
+    parser.add_argument("--lock-image", default=False, action="store_true")
+    parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")
+    parser.add_argument("--lock-text", default=False, action="store_true")
+    parser.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    parser.add_argument("--lock-text-freeze-layer-norm", default=False, action="store_true")
     parser.add_argument("--precision", type=str, default="amp",
                         choices=["amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16", "pure_bf16", "fp32"])
     # optimization
