@@ -111,13 +111,14 @@ def test_training_webdataset(tmp_path):
                 info = tarfile.TarInfo(f"{s:03d}{i:04d}.jpg")
                 info.size = len(buf.getvalue())
                 tf.addfile(info, io.BytesIO(buf.getvalue()))
-                cap = f"a photo number {i}".encode()
-                info = tarfile.TarInfo(f"{s:03d}{i:04d}.txt")
+                cap = ('{"caption": "a photo number %d"}' % i).encode()
+                info = tarfile.TarInfo(f"{s:03d}{i:04d}.json")
                 info.size = len(cap)
                 tf.addfile(info, io.BytesIO(cap))
 
     args = _args(tmp_path, "wds-smoke", [
         "--train-data", str(shard_dir / "train-{000..001}.tar"),
+        "--json-captions",
     ])
     idx = args.index("--dataset-type")
     args[idx + 1] = "webdataset"

@@ -71,6 +71,7 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
             args.train_data,
             transform=preprocess_train,
             resampled=getattr(args, "dataset_resampled", False),
+            json_caption_key="caption" if getattr(args, "json_captions", False) else None,
             shuffle=True,
             seed=args.seed,
             rank=jax.process_index(),

@@ -24,6 +24,10 @@ def parse_args(args=None) -> argparse.Namespace:
         default="auto",
     )
     parser.add_argument("--dataset-resampled", default=False, action="store_true")
+    parser.add_argument(
+        "--json-captions", default=False, action="store_true",
+        help="load webdataset captions from json files (key 'caption') instead of txt",
+    )
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")
     parser.add_argument("--csv-caption-key", type=str, default="title")
