@@ -154,3 +154,38 @@ def test_subsample_per_class(image_tree):
     subsample_per_class(ds, k=2, seed=0)
     counts = np.bincount(ds.targets)
     assert (counts == 2).all() and len(ds) == 6
+
+
+def test_aug_cfg_color_jitter_and_grayscale():
+    """--aug-cfg pipeline (reference transform.py:62-77, 242-271): color
+    jitter bounded by strength, grayscale collapses channels, deterministic
+    under a seed, and disabled-by-default path unchanged."""
+    from PIL import Image
+
+    from xclip_tpu.data.transforms import AugmentationCfg, aug_cfg_from_dict, image_transform
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (96, 96, 3), np.uint8))
+
+    plain = image_transform(32, is_train=True, seed=4)(img)
+    plain2 = image_transform(32, is_train=True, seed=4, aug_cfg=AugmentationCfg())(img)
+    np.testing.assert_array_equal(plain, plain2)  # default aug == no aug
+
+    cfg = aug_cfg_from_dict({"color_jitter": 0.4, "color_jitter_prob": 1.0})
+    assert cfg.color_jitter == (0.4, 0.4, 0.4)
+    a = image_transform(32, is_train=True, seed=4, aug_cfg=cfg)(img)
+    b = image_transform(32, is_train=True, seed=4, aug_cfg=cfg)(img)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    assert np.abs(a - plain).max() > 1e-3  # jitter actually changed pixels
+
+    gray = aug_cfg_from_dict({"gray_scale_prob": 1.0})
+    g = image_transform(32, is_train=True, seed=4, aug_cfg=gray)(img)
+    # un-normalize per channel; all channels equal after grayscale
+    from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    px = g * np.array(OPENAI_DATASET_STD) + np.array(OPENAI_DATASET_MEAN)
+    assert np.abs(px[..., 0] - px[..., 1]).max() < 1e-6
+    assert np.abs(px[..., 1] - px[..., 2]).max() < 1e-6
+
+    with pytest.raises(ValueError, match="unknown aug_cfg"):
+        aug_cfg_from_dict({"use_timm": True})

@@ -102,20 +102,61 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((left, top, left + size, top + size))
 
 
+@dataclasses.dataclass(frozen=True)
+class AugmentationCfg:
+    """Optional train-time augmentation (reference transform.py:62-77 AugmentationCfg
+    + color_jitter/gray_scale wrappers :242-271). Defaults reproduce the plain
+    RandomResizedCrop pipeline."""
+
+    scale: Tuple[float, float] = (0.9, 1.0)
+    color_jitter: Optional[Tuple[float, float, float]] = None  # brightness/contrast/saturation
+    color_jitter_prob: float = 0.8
+    gray_scale_prob: float = 0.0
+
+
+def apply_color_jitter(img: Image.Image, strengths, rng) -> Image.Image:
+    """torchvision ColorJitter equivalent via PIL ImageEnhance: factors drawn
+    uniform from [max(0, 1-v), 1+v], applied in random order."""
+    from PIL import ImageEnhance
+
+    ops = []
+    for enhancer, v in zip(
+        (ImageEnhance.Brightness, ImageEnhance.Contrast, ImageEnhance.Color), strengths
+    ):
+        if v and v > 0:
+            ops.append((enhancer, rng.uniform(max(0.0, 1.0 - v), 1.0 + v)))
+    rng.shuffle(ops)
+    for enhancer, factor in ops:
+        img = enhancer(img).enhance(factor)
+    return img
+
+
 class ImageTransform:
     """Callable PIL.Image -> float32 HWC array."""
 
-    def __init__(self, cfg: PreprocessCfg, is_train: bool, seed: Optional[int] = None):
+    def __init__(
+        self,
+        cfg: PreprocessCfg,
+        is_train: bool,
+        seed: Optional[int] = None,
+        aug_cfg: Optional[AugmentationCfg] = None,
+    ):
         self.cfg = cfg
         self.is_train = is_train
+        self.aug = aug_cfg or AugmentationCfg()
         self.rng = random.Random(seed) if seed is not None else random
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
         if self.is_train:
             img = random_resized_crop(
-                img, self.cfg.size, interpolation=self.cfg.interpolation, rng=self.rng
+                img, self.cfg.size, scale=self.aug.scale,
+                interpolation=self.cfg.interpolation, rng=self.rng,
             )
+            if self.aug.color_jitter and self.rng.random() < self.aug.color_jitter_prob:
+                img = apply_color_jitter(img, self.aug.color_jitter, self.rng)
+            if self.aug.gray_scale_prob and self.rng.random() < self.aug.gray_scale_prob:
+                img = img.convert("L").convert("RGB")
         else:
             img = resize_shortest(img, self.cfg.size, self.cfg.interpolation)
             img = center_crop(img, self.cfg.size)
@@ -128,5 +169,29 @@ def image_transform(
     mean: Tuple[float, float, float] = OPENAI_DATASET_MEAN,
     std: Tuple[float, float, float] = OPENAI_DATASET_STD,
     seed: Optional[int] = None,
+    aug_cfg: Optional[AugmentationCfg] = None,
 ) -> ImageTransform:
-    return ImageTransform(PreprocessCfg(size=image_size, mean=mean, std=std), is_train, seed)
+    return ImageTransform(
+        PreprocessCfg(size=image_size, mean=mean, std=std), is_train, seed, aug_cfg=aug_cfg
+    )
+
+
+def aug_cfg_from_dict(d: Optional[dict]) -> Optional[AugmentationCfg]:
+    """Build an AugmentationCfg from --aug-cfg key=value pairs (reference
+    params.py:259 ParseKwargs). color_jitter accepts a single float
+    (replicated to brightness/contrast/saturation) or a 3-tuple."""
+    if not d:
+        return None
+    d = dict(d)
+    cj = d.get("color_jitter")
+    if isinstance(cj, (int, float)):
+        d["color_jitter"] = (float(cj),) * 3
+    elif isinstance(cj, (list, tuple)):
+        d["color_jitter"] = tuple(float(v) for v in cj)
+    if "scale" in d and isinstance(d["scale"], (list, tuple)):
+        d["scale"] = tuple(float(v) for v in d["scale"])
+    allowed = {f.name for f in dataclasses.fields(AugmentationCfg)}
+    unknown = set(d) - allowed
+    if unknown:
+        raise ValueError(f"unknown aug_cfg keys: {sorted(unknown)} (allowed: {sorted(allowed)})")
+    return AugmentationCfg(**d)

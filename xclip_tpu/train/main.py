@@ -304,6 +304,12 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
+    if getattr(args, "aug_cfg", None):
+        from xclip_tpu.data.transforms import aug_cfg_from_dict, image_transform
+
+        preprocess_train = image_transform(
+            model.cfg.image_size, is_train=True, aug_cfg=aug_cfg_from_dict(args.aug_cfg)
+        )
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"

@@ -11,6 +11,22 @@ replaces them.
 from __future__ import annotations
 
 import argparse
+import ast
+
+
+class ParseKwargs(argparse.Action):
+    """key=value list -> dict, values literal-eval'd with string fallback
+    (reference params.py:14-23, used by --aug-cfg)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, value = value.split("=", 1)
+            try:
+                kw[key] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                kw[key] = str(value)
+        setattr(namespace, self.dest, kw)
 
 
 def parse_args(args=None) -> argparse.Namespace:
@@ -38,6 +54,7 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--model", type=str, default="RN50")
     parser.add_argument("--pretrained", type=str, default="")
     parser.add_argument("--force-quick-gelu", action="store_true")
+    parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
     parser.add_argument("--lock-image", default=False, action="store_true")
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")
