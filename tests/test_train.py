@@ -411,3 +411,52 @@ class TestTowerLocking:
         assert not np.array_equal(np.asarray(params2["text"]["token_embedding"]),
                                   p0["text"]["token_embedding"])
         del optax
+
+
+def test_gather_without_grad_semantics():
+    """gather_with_grad=False (the reference default, loss.py:40-53): the
+    loss VALUE equals the differentiable-gather loss, but gradients only
+    flow through each feature's owner rank. Verified against a single-device
+    emulation with per-rank stop_gradient masking."""
+    from jax import shard_map
+
+    mesh = create_mesh()
+    n_dev = len(jax.devices())
+    img, txt = _rand_features(b=16)
+    bl = 16 // n_dev
+
+    def local_fn(i, t):
+        return jax.lax.pmean(
+            clip_loss(i, t, 42.0, axis_name=DATA_AXIS, local_loss=True, gather_with_grad=False),
+            DATA_AXIS,
+        )
+
+    sharded = shard_map(local_fn, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)), out_specs=P())
+    # value identical to the with-grad variant
+    np.testing.assert_allclose(float(sharded(img, txt)), float(clip_loss(img, txt, 42.0)), rtol=1e-5)
+
+    def emulated(i):
+        # mean over ranks of rank-k local losses where only shard k carries grad
+        t = jnp.asarray(txt)
+        total = 0.0
+        for k in range(n_dev):
+            mask = jnp.zeros((16, 1)).at[k * bl : (k + 1) * bl].set(1.0)
+            i_k = jax.lax.stop_gradient(i) * (1 - mask) + i * mask
+            logits = 42.0 * i_k[k * bl : (k + 1) * bl] @ jax.lax.stop_gradient(t).T
+            labels = jnp.arange(bl) + k * bl
+            li = -jnp.mean(jax.nn.log_softmax(logits, -1)[jnp.arange(bl), labels])
+            # text-side: rows are this rank's texts vs ALL images (i_k grads)
+            logits_t = 42.0 * jax.lax.stop_gradient(t)[k * bl : (k + 1) * bl] @ i_k.T
+            lt = -jnp.mean(jax.nn.log_softmax(logits_t, -1)[jnp.arange(bl), labels])
+            total = total + (li + lt) / 2
+        return total / n_dev
+
+    g_sharded = jax.grad(lambda i: sharded(i, jnp.asarray(txt)))(jnp.asarray(img))
+    g_emu = jax.grad(emulated)(jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_emu), atol=1e-6)
+    # and it differs from the with-grad gradient (cross-rank terms removed)
+    def with_grad_fn(i, t):
+        return jax.lax.pmean(clip_loss(i, t, 42.0, axis_name=DATA_AXIS, local_loss=True), DATA_AXIS)
+    wg = shard_map(with_grad_fn, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)), out_specs=P())
+    g_wg = jax.grad(lambda i: wg(i, jnp.asarray(txt)))(jnp.asarray(img))
+    assert np.abs(np.asarray(g_wg) - np.asarray(g_sharded)).max() > 1e-6

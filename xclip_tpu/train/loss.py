@@ -38,6 +38,7 @@ def clip_loss(
     *,
     axis_name: Optional[str] = None,
     local_loss: bool = True,
+    gather_with_grad: bool = True,
 ) -> jnp.ndarray:
     """Symmetric InfoNCE loss.
 
@@ -45,6 +46,11 @@ def clip_loss(
     With ``axis_name`` (inside shard_map/pmap): features are the local shard;
     the global batch is assembled via all_gather and each device computes its
     local row block (reference --local-loss --gather-with-grad layout).
+    ``gather_with_grad=False`` reproduces the reference default (loss.py:
+    40-53): gathered features carry no gradient except the local block,
+    which is reinjected — each feature only backprops through its owner's
+    loss rows. On TPU the differentiable gather (transpose = psum_scatter)
+    costs the same, so True is this framework's default.
     """
     b = image_features.shape[0]
     if axis_name is None:
@@ -55,6 +61,13 @@ def clip_loss(
     all_img = jax.lax.all_gather(image_features, axis_name, tiled=True)  # (WB, E)
     all_txt = jax.lax.all_gather(text_features, axis_name, tiled=True)
     rank = jax.lax.axis_index(axis_name)
+    if not gather_with_grad:
+        all_img = jax.lax.dynamic_update_slice_in_dim(
+            jax.lax.stop_gradient(all_img), image_features, rank * b, 0
+        )
+        all_txt = jax.lax.dynamic_update_slice_in_dim(
+            jax.lax.stop_gradient(all_txt), text_features, rank * b, 0
+        )
     labels = jnp.arange(b) + rank * b
     if local_loss:
         logits_per_image = logit_scale * image_features @ all_txt.T  # (B, WB)

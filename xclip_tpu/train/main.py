@@ -352,6 +352,9 @@ def main(argv=None) -> int:
             TrainStepCfg(
                 precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
                 local_loss=True,  # the TPU layout is always the local row-block
+                # differentiable gather is free on TPU, so it is the default;
+                # an explicit --gather-with-grad keeps reference CLIs working
+                gather_with_grad=True,
                 grad_checkpointing=args.grad_checkpointing,
                 accum_freq=args.accum_freq,
                 siglip=args.siglip,

@@ -37,6 +37,7 @@ from xclip_tpu.train.loss import clip_loss, distill_clip_loss, siglip_loss
 class TrainStepCfg:
     precision: str = "bf16"
     local_loss: bool = True
+    gather_with_grad: bool = True
     grad_checkpointing: bool = False
     accum_freq: int = 1
     grad_clip_norm: float = 0.0
@@ -96,7 +97,8 @@ def make_train_step(
                     )
                 else:
                     loss = clip_loss(
-                        img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
+                        img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss,
+                        gather_with_grad=cfg.gather_with_grad
                     )
                 return loss, new_state
 
@@ -131,7 +133,8 @@ def make_train_step(
                     all_txt = all_txt.reshape(accum * b_micro, -1)
                     scale = jnp.exp(p["logit_scale"])
                     loss = clip_loss(
-                        all_img, all_txt, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss
+                        all_img, all_txt, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss,
+                        gather_with_grad=cfg.gather_with_grad
                     )
                     return loss, new_s
 
