@@ -304,12 +304,21 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
-    if getattr(args, "aug_cfg", None):
-        from xclip_tpu.data.transforms import aug_cfg_from_dict, image_transform
-
-        preprocess_train = image_transform(
-            model.cfg.image_size, is_train=True, aug_cfg=aug_cfg_from_dict(args.aug_cfg)
+    if getattr(args, "aug_cfg", None) or args.image_mean or args.image_std:
+        from xclip_tpu.data.transforms import (
+            OPENAI_DATASET_MEAN,
+            OPENAI_DATASET_STD,
+            aug_cfg_from_dict,
+            image_transform,
         )
+
+        mean = tuple(args.image_mean) if args.image_mean else OPENAI_DATASET_MEAN
+        std = tuple(args.image_std) if args.image_std else OPENAI_DATASET_STD
+        preprocess_train = image_transform(
+            model.cfg.image_size, is_train=True, mean=mean, std=std,
+            aug_cfg=aug_cfg_from_dict(args.aug_cfg),
+        )
+        preprocess_val = image_transform(model.cfg.image_size, is_train=False, mean=mean, std=std)
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"

@@ -55,6 +55,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--pretrained", type=str, default="")
     parser.add_argument("--force-quick-gelu", action="store_true")
     parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+    parser.add_argument("--image-mean", type=float, nargs="+", default=None,
+                        help="override dataset image mean (3 floats)")
+    parser.add_argument("--image-std", type=float, nargs="+", default=None,
+                        help="override dataset image std (3 floats)")
     parser.add_argument("--lock-image", default=False, action="store_true")
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")
