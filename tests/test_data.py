@@ -189,3 +189,31 @@ def test_aug_cfg_color_jitter_and_grayscale():
 
     with pytest.raises(ValueError, match="unknown aug_cfg"):
         aug_cfg_from_dict({"use_timm": True})
+
+
+def test_resize_modes():
+    """val resize_mode variants (reference transform.py:297-369): 'longest'
+    pads the short side (full image visible), 'squash' ignores aspect."""
+    from PIL import Image
+
+    from xclip_tpu.data.transforms import image_transform
+
+    wide = Image.fromarray(np.full((40, 120, 3), 200, np.uint8))  # 120x40
+
+    longest = image_transform(32, is_train=False, resize_mode="longest")(wide)
+    assert longest.shape == (32, 32, 3)
+    # top/bottom rows are padding (zeros -> normalized to -mean/std)
+    from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    pad_val = (0 - np.array(OPENAI_DATASET_MEAN)) / np.array(OPENAI_DATASET_STD)
+    np.testing.assert_allclose(longest[0], np.broadcast_to(pad_val, (32, 3)), atol=1e-5)
+    assert np.abs(longest[16] - pad_val).max() > 0.5  # middle rows are image
+
+    squash = image_transform(32, is_train=False, resize_mode="squash")(wide)
+    assert np.abs(squash[0] - pad_val).max() > 0.5  # no padding anywhere
+
+    shortest = image_transform(32, is_train=False)(wide)
+    assert np.abs(shortest[0] - pad_val).max() > 0.5  # cropped, no padding
+
+    with pytest.raises(ValueError, match="resize_mode"):
+        image_transform(32, is_train=False, resize_mode="stretch")

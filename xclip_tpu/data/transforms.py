@@ -157,6 +157,18 @@ class ImageTransform:
                 img = apply_color_jitter(img, self.aug.color_jitter, self.rng)
             if self.aug.gray_scale_prob and self.rng.random() < self.aug.gray_scale_prob:
                 img = img.convert("L").convert("RGB")
+        elif self.cfg.resize_mode == "squash":
+            # direct WxH resize, no aspect preservation (reference :365-369)
+            img = img.resize((self.cfg.size, self.cfg.size), _PIL_INTERP[self.cfg.interpolation])
+        elif self.cfg.resize_mode == "longest":
+            # ResizeKeepRatio(longest)+CenterCropOrPad (reference :360-364)
+            w, h = img.size
+            s = self.cfg.size / max(w, h)
+            img = img.resize(
+                (max(1, int(round(w * s))), max(1, int(round(h * s)))),
+                _PIL_INTERP[self.cfg.interpolation],
+            )
+            img = center_crop(img, self.cfg.size)  # pads the short side
         else:
             img = resize_shortest(img, self.cfg.size, self.cfg.interpolation)
             img = center_crop(img, self.cfg.size)
@@ -170,9 +182,13 @@ def image_transform(
     std: Tuple[float, float, float] = OPENAI_DATASET_STD,
     seed: Optional[int] = None,
     aug_cfg: Optional[AugmentationCfg] = None,
+    resize_mode: str = "shortest",
 ) -> ImageTransform:
+    if resize_mode not in ("shortest", "longest", "squash"):
+        raise ValueError(f"unknown resize_mode {resize_mode!r}")
     return ImageTransform(
-        PreprocessCfg(size=image_size, mean=mean, std=std), is_train, seed, aug_cfg=aug_cfg
+        PreprocessCfg(size=image_size, mean=mean, std=std, resize_mode=resize_mode),
+        is_train, seed, aug_cfg=aug_cfg,
     )
 
 
