@@ -415,6 +415,12 @@ def main(argv=None) -> int:
             completed_epoch == args.epochs or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)
         ):
             save_checkpoint(args, model, params, state, opt_state, completed_epoch)
+            if args.delete_previous_checkpoint:
+                # reference main.py:472-475
+                ext = "pt" if args.torch_compat_ckpt else "npz"
+                prev = os.path.join(args.checkpoint_path, f"epoch_{completed_epoch - 1}.{ext}")
+                if os.path.exists(prev):
+                    os.remove(prev)
 
     if remote_sync_process is not None:
         from xclip_tpu.utils.file_utils import remote_sync

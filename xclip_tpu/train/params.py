@@ -99,6 +99,8 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--save-frequency", type=int, default=1)
     parser.add_argument("--save-most-recent", action="store_true")
+    parser.add_argument("--delete-previous-checkpoint", default=False, action="store_true",
+                        help="delete the previous epoch checkpoint after saving a new one")
     parser.add_argument("--save-log-step", action="store_true",
                         help="save log-spaced (power-of-2) step checkpoints (fork feature)")
     parser.add_argument("--torch-compat-ckpt", dest="torch_compat_ckpt", action="store_true", default=True,
