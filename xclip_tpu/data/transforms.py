@@ -183,11 +183,15 @@ def image_transform(
     seed: Optional[int] = None,
     aug_cfg: Optional[AugmentationCfg] = None,
     resize_mode: str = "shortest",
+    interpolation: str = "bicubic",
 ) -> ImageTransform:
     if resize_mode not in ("shortest", "longest", "squash"):
         raise ValueError(f"unknown resize_mode {resize_mode!r}")
+    if interpolation not in _PIL_INTERP:
+        raise ValueError(f"unknown interpolation {interpolation!r}")
     return ImageTransform(
-        PreprocessCfg(size=image_size, mean=mean, std=std, resize_mode=resize_mode),
+        PreprocessCfg(size=image_size, mean=mean, std=std, resize_mode=resize_mode,
+                      interpolation=interpolation),
         is_train, seed, aug_cfg=aug_cfg,
     )
 

@@ -67,10 +67,18 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
     if args.train_data and dataset_type == "webdataset":
         from xclip_tpu.data.wds import WdsLoader, WebDatasetReader
 
+        weights = None
+        if args.train_data_upsampling_factors:
+            assert getattr(args, "dataset_resampled", False), (
+                "--train-data-upsampling-factors is only supported when sampling with "
+                "replacement (with --dataset-resampled)"
+            )
+            weights = [float(w) for w in args.train_data_upsampling_factors.split("::")]
         reader = WebDatasetReader(
             args.train_data,
             transform=preprocess_train,
             resampled=getattr(args, "dataset_resampled", False),
+            weights=weights,
             json_caption_key="caption" if getattr(args, "json_captions", False) else None,
             shuffle=True,
             seed=args.seed,
@@ -304,7 +312,8 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
-    if getattr(args, "aug_cfg", None) or args.image_mean or args.image_std:
+    if (getattr(args, "aug_cfg", None) or args.image_mean or args.image_std
+            or args.image_resize_mode or args.image_interpolation):
         from xclip_tpu.data.transforms import (
             OPENAI_DATASET_MEAN,
             OPENAI_DATASET_STD,
@@ -314,11 +323,15 @@ def main(argv=None) -> int:
 
         mean = tuple(args.image_mean) if args.image_mean else OPENAI_DATASET_MEAN
         std = tuple(args.image_std) if args.image_std else OPENAI_DATASET_STD
+        interp = args.image_interpolation or "bicubic"
         preprocess_train = image_transform(
             model.cfg.image_size, is_train=True, mean=mean, std=std,
-            aug_cfg=aug_cfg_from_dict(args.aug_cfg),
+            aug_cfg=aug_cfg_from_dict(args.aug_cfg), interpolation=interp,
         )
-        preprocess_val = image_transform(model.cfg.image_size, is_train=False, mean=mean, std=std)
+        preprocess_val = image_transform(
+            model.cfg.image_size, is_train=False, mean=mean, std=std,
+            resize_mode=args.image_resize_mode or "shortest", interpolation=interp,
+        )
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"

@@ -44,6 +44,11 @@ def parse_args(args=None) -> argparse.Namespace:
         "--json-captions", default=False, action="store_true",
         help="load webdataset captions from json files (key 'caption') instead of txt",
     )
+    parser.add_argument(
+        "--train-data-upsampling-factors", type=str, default=None,
+        help="'::'-separated per-source sampling weights for resampled webdataset "
+        "(e.g. 1::2::0.5); requires --dataset-resampled",
+    )
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")
     parser.add_argument("--csv-caption-key", type=str, default="title")
@@ -59,6 +64,10 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="override dataset image mean (3 floats)")
     parser.add_argument("--image-std", type=float, nargs="+", default=None,
                         help="override dataset image std (3 floats)")
+    parser.add_argument("--image-interpolation", choices=["bicubic", "bilinear", "nearest"],
+                        default=None)
+    parser.add_argument("--image-resize-mode", choices=["shortest", "longest", "squash"],
+                        default=None, help="val-preprocess resize mode")
     parser.add_argument("--lock-image", default=False, action="store_true")
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")
@@ -120,7 +129,8 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--copy-codebase", default=False, action="store_true")
     # accepted-but-inert torch flags (single pjit program replaces them)
     for flag in ["--horovod", "--ddp-static-graph", "--torchcompile", "--trace",
-                 "--use-bn-sync", "--skip-scheduler", "--use-bnb-linear"]:
+                 "--use-bn-sync", "--skip-scheduler", "--use-bnb-linear", "--torchscript",
+                 "--no-set-device-rank", "--force-custom-text"]:
         parser.add_argument(flag, action="store_true", help="accepted for CLI compat; no-op on TPU")
     parser.add_argument("--dist-backend", type=str, default=None, help="no-op: JAX ICI/DCN")
     parser.add_argument("--device", type=str, default=None, help="no-op: uses jax.devices()")
