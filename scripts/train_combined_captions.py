@@ -34,6 +34,9 @@ def collate(items):
 
 def train(args):
     setup_logging(None)
+    if getattr(args, "detect_anomaly", False):
+        # torch.autograd anomaly detection equivalent (reference :157)
+        jax.config.update("jax_debug_nans", True)
     model = Classifier(ClassifierCfg(model=args.model, num_classes=1345, lr=args.learning_rate))
     params, state = model.init(jax.random.PRNGKey(args.seed or 0))
 

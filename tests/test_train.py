@@ -219,6 +219,74 @@ def test_siglip_train_step_smoke():
     assert all(np.isfinite(losses))
 
 
+def test_siglip_accum_uses_sigmoid_loss():
+    """--siglip --accum-freq 2 must train the sigmoid pairwise loss, not
+    InfoNCE (ADVICE r1): at identical params the cached-negatives loss equals
+    the accum=1 siglip loss, and logit_bias receives a gradient."""
+    cfg = {
+        "embed_dim": 32, "init_logit_scale": 2.302585, "init_logit_bias": -10.0,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 8},
+        "text_cfg": {"context_length": 16, "vocab_size": 512, "width": 32, "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 100), weight_decay=0.0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+    losses, biases = [], []
+    for accum in (1, 2):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        step = make_train_step(
+            model, tx, mesh, TrainStepCfg(precision="fp32", siglip=True, accum_freq=accum)
+        )
+        p, s, _, metrics = step(p, s, tx.init(p), dict(batch))
+        losses.append(float(metrics["loss"]))
+        biases.append(float(p["logit_bias"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    assert biases[1] != -10.0, "logit_bias got no gradient through the accum path"
+
+
+def test_patch_dropout_rng_threaded_through_train_step():
+    """--force-patch-dropout is NOT a silent no-op (ADVICE r1): the step
+    demands a per-step rng seed, dropout varies with it, and the bare
+    forward fails loudly in train mode without an rng."""
+    cfg = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 8,
+                       "head_width": 8, "patch_dropout": 0.5},
+        "text_cfg": {"context_length": 16, "vocab_size": 512, "width": 32, "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="patch_dropout"):
+        model.forward(params, np.zeros((2, 32, 32, 3), np.float32),
+                      np.zeros((2, 16), np.int32), state=state, train=True)
+
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 100))
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+    assert step.needs_rng
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+    with pytest.raises(ValueError, match="batch\\['step'\\]"):
+        step(params, state, tx.init(params), dict(batch))
+    losses = {}
+    for step_idx in (0, 1):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        _, _, _, metrics = step(p, s, tx.init(p), {**batch, "step": np.int32(step_idx)})
+        losses[step_idx] = float(metrics["loss"])
+    assert losses[0] != losses[1], "patch-dropout selection did not vary with the step rng"
+
+
 def test_pjit_zero_sharded_step():
     """pjit global-math step with ZeRO param sharding trains and matches the
     shard_map step's loss on the first step (ViT: no BN, so the two layouts

@@ -58,6 +58,88 @@ def test_training_resume_latest(tmp_path):
     args[idx + 1] = "2"
     assert main(args) == 0
     assert (tmp_path / "resume" / "checkpoints" / "epoch_2.pt").exists()
+    # epoch 0 must have trained exactly once across both runs (the resume
+    # read the stored epoch, not the filename)
+    log = (tmp_path / "resume" / "out.log").read_text()
+    assert log.count("Start epoch 0") == 1 and log.count("Start epoch 1") == 1
+
+
+def test_training_resume_from_epoch_latest(tmp_path):
+    """--save-most-recent + --resume latest picks epoch_latest.pt (no epoch
+    number in the filename): start_epoch must come from the stored epoch so
+    completed epochs are not silently re-run (ADVICE r1)."""
+    assert main(_args(tmp_path, "resume-ml", ["--save-most-recent"])) == 0
+    assert (tmp_path / "resume-ml" / "checkpoints" / "epoch_latest.pt").exists()
+    args = _args(tmp_path, "resume-ml", ["--save-most-recent", "--resume", "latest"])
+    idx = args.index("--epochs")
+    args[idx + 1] = "2"
+    assert main(args) == 0
+    import torch
+
+    latest = torch.load(str(tmp_path / "resume-ml" / "checkpoints" / "epoch_latest.pt"),
+                        map_location="cpu", weights_only=False)
+    assert latest["epoch"] == 2
+    assert "optimizer" in latest  # Adam moments persisted for the next resume
+    log = (tmp_path / "resume-ml" / "out.log").read_text()
+    assert log.count("Start epoch 0") == 1 and log.count("Start epoch 1") == 1
+
+
+def test_opt_state_roundtrip(tmp_path):
+    """Optimizer state (Adam moments + schedule step count) survives both
+    checkpoint formats; resume does not restart warmup (ADVICE r1, reference
+    training/main.py:355-360)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xclip_tpu.core.checkpoint import (
+        load_checkpoint_full,
+        save_native,
+        save_open_clip_checkpoint,
+    )
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+    from xclip_tpu.parallel.mesh import create_mesh
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    cfg = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 8},
+        "text_cfg": {"context_length": 16, "vocab_size": 512, "width": 32, "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(cfg))
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 5, 100), weight_decay=0.1, grad_clip_norm=1.0)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh=create_mesh(), cfg=TrainStepCfg(precision="fp32"))
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+    for _ in range(3):
+        params, state, opt_state, _ = step(params, state, opt_state, dict(batch))
+
+    want = [np.asarray(x) for x in jax.tree_util.tree_leaves(opt_state)]
+    for fmt in ("pt", "npz"):
+        path = str(tmp_path / f"ck.{fmt}")
+        if fmt == "pt":
+            save_open_clip_checkpoint(path, model, params, state, epoch=3, name="t",
+                                      opt_state=opt_state)
+        else:
+            save_native(path, params, state, extras={"epoch": 3, "name": "t"},
+                        opt_state=opt_state)
+        p0, s0 = model.init(jax.random.PRNGKey(1))
+        template = tx.init(p0)
+        p1, s1, opt1, extras = load_checkpoint_full(path, model, p0, s0, template)
+        assert extras["epoch"] == 3
+        got = [np.asarray(x) for x in jax.tree_util.tree_leaves(opt1)]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-6, err_msg=fmt)
+        # params restored too (moments belong to these weights)
+        np.testing.assert_allclose(
+            np.asarray(p1["logit_scale"]), np.asarray(params["logit_scale"]), rtol=1e-6
+        )
 
 
 def test_training_native_ckpt(tmp_path):

@@ -56,6 +56,38 @@ def flatten_pytree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
+def opt_state_to_flat(opt_state) -> Dict[str, np.ndarray]:
+    """Flatten an optax optimizer state (arbitrary NamedTuple nesting) to
+    index-keyed numpy leaves. The structure itself is NOT stored: restore
+    requires a template from ``tx.init(params)`` with matching treedef, which
+    is how the reference restores ``optimizer.state_dict()``
+    (deps/open_clip/src/training/main.py:355-360)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {str(i): np.asarray(jax.device_get(leaf)) for i, leaf in enumerate(leaves)}
+
+
+def flat_to_opt_state(template_opt_state, flat: Dict[str, np.ndarray]):
+    """Rebuild an optimizer state from :func:`opt_state_to_flat` output using
+    a freshly initialized state as the structure template. Restores Adam
+    moments AND schedule/step counts so --resume does not restart warmup."""
+    leaves, treedef = jax.tree_util.tree_flatten(template_opt_state)
+    if len(flat) != len(leaves):
+        raise ValueError(
+            f"optimizer state leaf count mismatch: checkpoint {len(flat)} vs model {len(leaves)} "
+            "(optimizer config changed since the checkpoint was written?)"
+        )
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        val = np.asarray(flat[str(i)])
+        ref = jnp.asarray(leaf)
+        if tuple(val.shape) != tuple(ref.shape):
+            if val.size != ref.size:
+                raise ValueError(f"optimizer state leaf {i}: ckpt {val.shape} vs model {ref.shape}")
+            val = val.reshape(ref.shape)  # torch round-trip turns 0-d into (1,)
+        new_leaves.append(jnp.asarray(val, dtype=ref.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def unflatten_into(tree, flat: Dict[str, np.ndarray]):
     """Replace leaves of ``tree`` by values from ``flat`` (same structure)."""
 
@@ -80,31 +112,45 @@ def unflatten_into(tree, flat: Dict[str, np.ndarray]):
 # torch .pt reading (zip/pickle format, no torch required)
 
 
-def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint into numpy arrays.
-
-    Uses torch when importable (robust path); otherwise a minimal reader for
-    the standard zip serialization format.
-    """
+def _load_torch_ckpt(path: str) -> dict:
+    """Read a full torch checkpoint dict ({'epoch','state_dict'[,'optimizer']}
+    or a bare state dict) with tensors left as torch tensors (torch path) or
+    numpy arrays (fallback zip reader)."""
     try:
         import torch
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(ckpt, dict) and "state_dict" in ckpt:
-            sd = ckpt["state_dict"]
-        elif isinstance(ckpt, dict):
-            sd = ckpt
-        else:  # jit-scripted archive
-            sd = ckpt.state_dict()
-        out = {}
-        for k, v in sd.items():
-            if hasattr(v, "detach"):
-                out[k] = v.detach().to(torch.float32).cpu().numpy()
-            else:
-                out[k] = np.asarray(v)
-        return out
+        if not isinstance(ckpt, dict):  # jit-scripted archive
+            ckpt = {"state_dict": ckpt.state_dict()}
+        return ckpt
     except ImportError:
-        return _read_torch_zip(path)
+        obj = _read_torch_zip(path)
+        return obj if isinstance(obj, dict) and "state_dict" in obj else {"state_dict": obj}
+
+
+def _tensor_dict_to_numpy(sd, upcast_fp32: bool = True) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            import torch
+
+            if v.dtype.is_floating_point and (upcast_fp32 or v.dtype == torch.bfloat16):
+                v = v.to(torch.float32)  # numpy cannot represent bf16
+            out[k] = v.detach().cpu().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint's model state dict into fp32 numpy arrays.
+
+    Uses torch when importable (robust path); otherwise a minimal reader for
+    the standard zip serialization format.
+    """
+    ckpt = _load_torch_ckpt(path)
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    return _tensor_dict_to_numpy(sd, upcast_fp32=True)
 
 
 def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:  # pragma: no cover - torch present in CI
@@ -171,10 +217,7 @@ def _read_torch_zip(path: str) -> Dict[str, np.ndarray]:  # pragma: no cover - t
             return {k: resolve(v) for k, v in node.items()}
         return node
 
-    obj = resolve(obj)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
-    return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items() if isinstance(v, np.ndarray)}
+    return resolve(obj)
 
 
 # ---------------------------------------------------------------------------
@@ -503,10 +546,13 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
 # native checkpoint format (.npz + JSON extras)
 
 
-def save_native(path: str, params, state, extras: Optional[dict] = None) -> None:
-    """Atomic save of param/state pytrees to a single .npz file."""
+def save_native(path: str, params, state, extras: Optional[dict] = None, opt_state=None) -> None:
+    """Atomic save of param/state pytrees (and optionally the optimizer
+    state) to a single .npz file."""
     flat = {"params" + SEP + k: v for k, v in flatten_pytree(jax.device_get(params)).items()}
     flat.update({"state" + SEP + k: v for k, v in flatten_pytree(jax.device_get(state)).items()})
+    if opt_state is not None:
+        flat.update({"opt" + SEP + k: v for k, v in opt_state_to_flat(opt_state).items()})
     header = json.dumps(extras or {})
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
@@ -524,6 +570,10 @@ def load_native(path: str, model=None, params=None, state=None):
         extras = json.loads(flat.pop("__extras__").tobytes().decode())
     pflat = {k[len("params") + 1 :]: v for k, v in flat.items() if k.startswith("params" + SEP)}
     sflat = {k[len("state") + 1 :]: v for k, v in flat.items() if k.startswith("state" + SEP)}
+    oflat = {k[len("opt") + 1 :]: v for k, v in flat.items() if k.startswith("opt" + SEP)}
+    if oflat:
+        extras = dict(extras)
+        extras["opt_flat"] = oflat
     if params is not None:
         params = unflatten_into(params, pflat)
         state = unflatten_into(state, sflat) if sflat else state
@@ -585,18 +635,47 @@ def load_orbax(path: str, params, state):
 
 def load_checkpoint(path: str, model, params, state) -> Tuple[Dict, Dict]:
     """Dispatch on file type: torch .pt / native .npz / orbax directory."""
+    params, state, _, _ = load_checkpoint_full(path, model, params, state)
+    return params, state
+
+
+def load_checkpoint_full(path: str, model, params, state, opt_state=None):
+    """Full resume load: returns ``(params, state, opt_state, extras)``.
+
+    ``opt_state`` is a template from ``tx.init(params)``; it is returned
+    restored when the checkpoint carries optimizer state, unchanged
+    otherwise. ``extras`` carries the stored ``epoch``/``name`` when present
+    (the reference resumes from checkpoint["epoch"]/["optimizer"]:
+    deps/open_clip/src/training/main.py:342-360)."""
     if os.path.isdir(path):
-        params, state, _ = load_orbax(path, params, state)
-        return params, state
+        params, state, extras = load_orbax(path, params, state)
+        oflat = extras.pop("opt_flat", None) if isinstance(extras, dict) else None
+        if oflat and opt_state is not None:
+            opt_state = flat_to_opt_state(opt_state, oflat)
+        return params, state, opt_state, extras or {}
     if path.endswith(".npz"):
-        params, state, _ = load_native(path, model, params, state)
-        return params, state
-    sd = _load_torch_state_dict(path)
-    return open_clip_state_dict_to_pytrees(sd, model)
+        params, state, extras = load_native(path, model, params, state)
+        oflat = extras.pop("opt_flat", None)
+        if oflat and opt_state is not None:
+            opt_state = flat_to_opt_state(opt_state, oflat)
+        return params, state, opt_state, extras
+    ckpt = _load_torch_ckpt(path)
+    bare = "state_dict" not in ckpt
+    sd = _tensor_dict_to_numpy(ckpt if bare else ckpt["state_dict"], upcast_fp32=True)
+    params, state = open_clip_state_dict_to_pytrees(sd, model)
+    extras = {} if bare else {k: ckpt[k] for k in ("epoch", "name") if k in ckpt}
+    if not bare and "optimizer" in ckpt and opt_state is not None:
+        oflat = _tensor_dict_to_numpy(ckpt["optimizer"], upcast_fp32=False)
+        opt_state = flat_to_opt_state(opt_state, oflat)
+    return params, state, opt_state, extras
 
 
-def save_open_clip_checkpoint(path: str, model, params, state, *, epoch: int = 0, name: str = "") -> None:
-    """Export to the reference torch checkpoint format (requires torch)."""
+def save_open_clip_checkpoint(
+    path: str, model, params, state, *, epoch: int = 0, name: str = "", opt_state=None
+) -> None:
+    """Export to the reference torch checkpoint format (requires torch).
+    ``opt_state`` is stored under "optimizer" (index-keyed leaves) like the
+    reference stores optimizer.state_dict() (training/main.py:450-460)."""
     import torch
 
     sd = pytrees_to_open_clip_state_dict(model, params, state)
@@ -605,6 +684,11 @@ def save_open_clip_checkpoint(path: str, model, params, state, *, epoch: int = 0
         "name": name,
         "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd.items()},
     }
+    if opt_state is not None:
+        ckpt["optimizer"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v).copy())
+            for k, v in opt_state_to_flat(opt_state).items()
+        }
     tmp = path + ".tmp"
     torch.save(ckpt, tmp)
     os.replace(tmp, path)

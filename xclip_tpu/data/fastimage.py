@@ -11,6 +11,7 @@ extension isn't built (``make -C csrc``).
 from __future__ import annotations
 
 import math
+import os
 import random
 from typing import Optional, Tuple
 
@@ -23,13 +24,39 @@ from xclip_tpu.data.transforms import (
     PreprocessCfg,
 )
 
+def _try_build_extension() -> bool:
+    """Build the C extension in-tree (seconds; the .so is not committed)."""
+    import subprocess
+
+    csrc = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+    if not os.path.isfile(os.path.join(csrc, "Makefile")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", csrc], check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 try:
     from xclip_tpu.data import _fastimage  # type: ignore
 
     HAVE_FASTIMAGE = True
 except ImportError:  # pragma: no cover - built on demand
-    _fastimage = None
-    HAVE_FASTIMAGE = False
+    if _try_build_extension():
+        try:
+            from xclip_tpu.data import _fastimage  # type: ignore
+
+            HAVE_FASTIMAGE = True
+        except ImportError:
+            _fastimage = None
+            HAVE_FASTIMAGE = False
+    else:
+        _fastimage = None
+        HAVE_FASTIMAGE = False
 
 
 def _sample_rrc_box(width: int, height: int, rng, scale=(0.9, 1.0), ratio=(3 / 4, 4 / 3)):

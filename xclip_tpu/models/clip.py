@@ -185,11 +185,14 @@ class CLIPModel:
         train: bool = False,
         dtype=None,
         remat: bool = False,
+        rng: Optional[jax.Array] = None,
     ) -> Dict:
         """Contrastive forward -> dict(image_features, text_features,
-        logit_scale, state); features are L2-normalized fp32."""
+        logit_scale, state); features are L2-normalized fp32. ``rng`` drives
+        patch dropout in ViT towers during training."""
         img, new_state, _ = self.encode_image(
-            params, images, state=state, normalize=True, train=train, dtype=dtype, remat=remat
+            params, images, state=state, normalize=True, train=train, dtype=dtype, remat=remat,
+            rng=rng,
         )
         txt, _ = self.encode_text(params, text_ids, normalize=True, dtype=dtype, remat=remat)
         out = {

@@ -195,6 +195,11 @@ def vit_apply(
         cls = jnp.broadcast_to(params["class_embedding"].astype(tokens.dtype), (b, 1, cfg.width))
         tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens = tokens + params["positional_embedding"].astype(tokens.dtype)
+        if train and cfg.patch_dropout > 0.0 and rng is None:
+            raise ValueError(
+                "patch_dropout > 0 in train mode requires an rng "
+                "(thread one via model.forward(..., rng=...))"
+            )
         if train and cfg.patch_dropout > 0.0 and rng is not None:
             # PatchDropout (reference transformer.py:49-86): keep a random
             # subset of patch tokens per sample, cls token always kept

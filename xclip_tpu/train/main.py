@@ -25,6 +25,7 @@ from datetime import datetime
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from xclip_tpu.data.datasets import SyntheticDataset, TsvDataset
 from xclip_tpu.data.loader import DataLoader, tokenizing_collate
@@ -132,21 +133,23 @@ def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag:
 
         save_open_clip_checkpoint(
             os.path.join(args.checkpoint_path, f"{name}.pt"), model, params, state,
-            epoch=epoch, name=args.name,
+            epoch=epoch, name=args.name, opt_state=opt_state,
         )
     else:
         from xclip_tpu.core.checkpoint import save_native
 
         save_native(
             os.path.join(args.checkpoint_path, f"{name}.npz"), params, state,
-            extras={"epoch": epoch, "name": args.name},
+            extras={"epoch": epoch, "name": args.name}, opt_state=opt_state,
         )
     if args.save_most_recent:
         # atomic latest (reference main.py:478-483)
         from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
         tmp = os.path.join(args.checkpoint_path, "tmp.pt")
-        save_open_clip_checkpoint(tmp, model, params, state, epoch=epoch, name=args.name)
+        save_open_clip_checkpoint(
+            tmp, model, params, state, epoch=epoch, name=args.name, opt_state=opt_state
+        )
         os.replace(tmp, os.path.join(args.checkpoint_path, LATEST_CHECKPOINT_NAME))
 
 
@@ -165,11 +168,14 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
 
     next_log_step = getattr(args, "next_log_ckpt_step", 0)
 
+    needs_rng = getattr(step_fn, "needs_rng", False)
     for i, batch in enumerate(loader):
         step = num_batches_per_epoch * epoch + i
         data_time_m.update(time.time() - end)
         gpu_start = time.time()
 
+        if needs_rng:  # patch dropout: per-step rng seed (fold_in of step idx)
+            batch = {**batch, "step": np.int32(step)}
         params, new_state, opt_state, metrics = step_fn(params, state, opt_state, batch)
         # --lock-image-freeze-bn-stats: keep the locked tower's BN running
         # stats fixed (all model state IS visual BN stats)
@@ -239,6 +245,11 @@ def copy_codebase(args) -> int:
 def main(argv=None) -> int:
     args = parse_args(argv)
     info = DistInfo.current()
+
+    if getattr(args, "detect_anomaly", False):
+        # torch.autograd.set_detect_anomaly equivalent: error out (with the
+        # offending primitive) as soon as any jitted value turns NaN/Inf
+        jax.config.update("jax_debug_nans", True)
 
     if args.name is None:
         model_name_safe = args.model.replace("/", "-")
@@ -380,6 +391,7 @@ def main(argv=None) -> int:
                 grad_checkpointing=args.grad_checkpointing,
                 accum_freq=args.accum_freq,
                 siglip=args.siglip,
+                seed=args.seed,
             ),
         )
         if distill:
@@ -400,12 +412,19 @@ def main(argv=None) -> int:
             step_fn = lambda p, s, o, b: raw_step(p, s, o, t_params, t_state, b)
 
     if args.resume:
-        from xclip_tpu.core.checkpoint import load_checkpoint
+        from xclip_tpu.core.checkpoint import load_checkpoint_full
 
-        params, state = load_checkpoint(args.resume, model, params, state)
-        m = re.search(r"epoch_(\d+)", os.path.basename(args.resume))
-        if m:
-            start_epoch = int(m.group(1))
+        params, state, opt_state, extras = load_checkpoint_full(
+            args.resume, model, params, state, opt_state
+        )
+        if isinstance(extras.get("epoch"), int):
+            # authoritative: the stored epoch (covers epoch_latest.pt, whose
+            # filename carries no number — reference main.py:342-346)
+            start_epoch = extras["epoch"]
+        else:
+            m = re.search(r"epoch_(\d+)", os.path.basename(args.resume))
+            if m:
+                start_epoch = int(m.group(1))
         logging.info(f"=> resuming checkpoint '{args.resume}' (epoch {start_epoch})")
 
     if "train" not in data:

@@ -126,6 +126,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--log-every-n-steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--detect-anomaly", default=False, action="store_true",
+                        help="abort on NaN/Inf in any jitted computation "
+                             "(jax_debug_nans; torch.autograd.set_detect_anomaly "
+                             "equivalent — reference train_combined_captions.py:157)")
     parser.add_argument("--copy-codebase", default=False, action="store_true")
     # accepted-but-inert torch flags (single pjit program replaces them)
     for flag in ["--horovod", "--ddp-static-graph", "--torchcompile", "--trace",

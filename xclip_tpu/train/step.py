@@ -42,6 +42,7 @@ class TrainStepCfg:
     accum_freq: int = 1
     grad_clip_norm: float = 0.0
     siglip: bool = False  # sigmoid pairwise loss with ppermute ring
+    seed: int = 0  # base seed for in-step randomness (patch dropout)
 
 
 def _norm_tree(tree):
@@ -69,8 +70,12 @@ def make_train_step(
     policy = get_policy(cfg.precision)
     compute_dtype = policy.compute_dtype
     accum = cfg.accum_freq
+    # patch dropout needs per-step randomness threaded into the compiled
+    # program; everything else is deterministic, so the rng plumbing (an
+    # extra "step" scalar in the batch) only exists when the tower uses it
+    use_rng = getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
 
-    def forward(params, state, images, texts):
+    def forward(params, state, images, texts, rng=None):
         out = model.forward(
             params,
             images,
@@ -79,28 +84,38 @@ def make_train_step(
             train=True,
             dtype=compute_dtype,
             remat=cfg.grad_checkpointing,
+            rng=rng,
         )
         return out["image_features"], out["text_features"], out["state"]
 
+    def _loss(p, img_f, txt_f):
+        scale = jnp.exp(p["logit_scale"])
+        if cfg.siglip:
+            return siglip_loss(img_f, txt_f, scale, p.get("logit_bias", 0.0), axis_name=DATA_AXIS)
+        return clip_loss(
+            img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad,
+        )
+
     # ---- per-device loss+grad under shard_map -----------------------------
-    def local_grads(params, state, images, texts):
+    def local_grads(params, state, images, texts, step_idx):
         """images/texts: the per-device shard. Returns pmean'd grads."""
+
+        def mk_rng(micro_j=None):
+            # distinct stream per (step, device, microbatch)
+            if not use_rng:
+                return None
+            r = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_idx)
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+            if micro_j is not None:
+                r = jax.random.fold_in(r, micro_j)
+            return r
 
         if accum == 1:
 
             def loss_fn(p):
-                img_f, txt_f, new_state = forward(p, state, images, texts)
-                scale = jnp.exp(p["logit_scale"])
-                if cfg.siglip:
-                    loss = siglip_loss(
-                        img_f, txt_f, scale, p.get("logit_bias", 0.0), axis_name=DATA_AXIS
-                    )
-                else:
-                    loss = clip_loss(
-                        img_f, txt_f, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss,
-                        gather_with_grad=cfg.gather_with_grad
-                    )
-                return loss, new_state
+                img_f, txt_f, new_state = forward(p, state, images, texts, rng=mk_rng())
+                return _loss(p, img_f, txt_f), new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         else:
@@ -111,11 +126,12 @@ def make_train_step(
             texts_m = texts.reshape(accum, b_micro, *texts.shape[1:])
 
             def cache_one(carry_state, batch_j):
-                imgs, txts = batch_j
-                img_f, txt_f, new_s = forward(params, carry_state, imgs, txts)
+                j, imgs, txts = batch_j
+                img_f, txt_f, new_s = forward(params, carry_state, imgs, txts, rng=mk_rng(j))
                 return new_s, (img_f, txt_f)
 
-            _, (cached_img, cached_txt) = jax.lax.scan(cache_one, state, (images_m, texts_m))
+            js = jnp.arange(accum)
+            _, (cached_img, cached_txt) = jax.lax.scan(cache_one, state, (js, images_m, texts_m))
             cached_img = jax.lax.stop_gradient(cached_img)  # (accum, b, E)
             cached_txt = jax.lax.stop_gradient(cached_txt)
 
@@ -126,24 +142,21 @@ def make_train_step(
                 j, imgs, txts = xs
 
                 def loss_fn(p):
-                    img_f, txt_f, new_s = forward(p, state_c, imgs, txts)
+                    # same rng as the caching pass so the re-forward sees the
+                    # identical patch-dropout selection (reference re-forwards
+                    # under the same autocast/module state, train.py:140-152)
+                    img_f, txt_f, new_s = forward(p, state_c, imgs, txts, rng=mk_rng(j))
                     all_img = jax.lax.dynamic_update_index_in_dim(cached_img, img_f, j, 0)
                     all_txt = jax.lax.dynamic_update_index_in_dim(cached_txt, txt_f, j, 0)
                     all_img = all_img.reshape(accum * b_micro, -1)
                     all_txt = all_txt.reshape(accum * b_micro, -1)
-                    scale = jnp.exp(p["logit_scale"])
-                    loss = clip_loss(
-                        all_img, all_txt, scale, axis_name=DATA_AXIS, local_loss=cfg.local_loss,
-                        gather_with_grad=cfg.gather_with_grad
-                    )
-                    return loss, new_s
+                    return _loss(p, all_img, all_txt), new_s
 
                 (loss_j, new_state), g_j = jax.value_and_grad(loss_fn, has_aux=True)(params)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_j)
                 return (g_acc, loss_acc + loss_j, new_state), None
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-            js = jnp.arange(accum)
             (grads, loss_sum, new_state), _ = jax.lax.scan(
                 micro, (zeros, 0.0, state), (js, images_m, texts_m)
             )
@@ -158,15 +171,16 @@ def make_train_step(
     local_grads_sharded = shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
 
     )
 
     def step(params, state, opt_state, batch):
+        step_idx = batch.get("step", jnp.zeros((), jnp.int32))
         loss, grads, new_state = local_grads_sharded(
-            params, state, batch["images"], batch["texts"]
+            params, state, batch["images"], batch["texts"], step_idx
         )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -182,12 +196,25 @@ def make_train_step(
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = {"images": NamedSharding(mesh, P(DATA_AXIS)), "texts": NamedSharding(mesh, P(DATA_AXIS))}
-    return jax.jit(
+    if use_rng:
+        batch_sharded["step"] = replicated
+    jitted = jax.jit(
         step,
         in_shardings=(replicated, replicated, replicated, batch_sharded),
         out_shardings=(replicated, replicated, replicated, replicated),
         donate_argnums=(0, 1, 2),
     )
+
+    def step_fn(params, state, opt_state, batch):
+        if use_rng and "step" not in batch:
+            raise ValueError(
+                "this model uses patch dropout: the train step needs batch['step'] "
+                "(int32 global step index) to derive the dropout rng"
+            )
+        return jitted(params, state, opt_state, batch)
+
+    step_fn.needs_rng = use_rng  # callers inject batch["step"] when True
+    return step_fn
 
 
 def make_distill_train_step(
