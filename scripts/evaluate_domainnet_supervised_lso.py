@@ -8,7 +8,6 @@ import os
 import re
 
 import _common  # noqa: F401
-import numpy as np
 
 from xclip_tpu.data.datasets import DomainNetCaptions
 from xclip_tpu.data.transforms import image_transform
@@ -44,13 +43,11 @@ def main(args):
             model, params, state, dataset, num_threads=args.num_workers,
             logit_slice=(1000, 1345),
         )
+        # no val_labels/val_pred: supervised protocol reports domainnet only
         res = evaluate_lso(
-            val_labels=np.zeros(1, np.int64), val_pred=np.zeros(1, np.int64),
             domain_labels=data["labels"], domain_pred=data["pred"], domain_ids=domain_ids,
             domain=args.domain, domainnet_classes=domainnet_classes,
         )
-        del res["imagenet-val"]  # supervised protocol reports domainnet only
-        res["imagenet-val"] = {"accuracy": {}}
         results_per_step.append(res)
 
     os.makedirs(args.out_path, exist_ok=True)

@@ -129,6 +129,21 @@ def test_lso_metrics_synthetic():
     assert merged["imagenet-val"]["accuracy"]["total"] == [0.5, 0.5]
     assert merged["steps"] == [1, 2]
 
+    # domainnet-only mode (supervised protocol, reference
+    # evaluate_domainnet_supervised_lso.py reports no imagenet-val)
+    res_dn = evaluate_lso(
+        domain_labels=domain_labels, domain_pred=domain_pred, domain_ids=domain_ids,
+        domain="sketch", domainnet_classes=classes,
+    )
+    assert res_dn["imagenet-val"] == {"accuracy": {}}
+    assert res_dn["domainnet-val"]["accuracy"] == acc
+    with pytest.raises(ValueError):
+        evaluate_lso(
+            val_labels=val_labels,
+            domain_labels=domain_labels, domain_pred=domain_pred, domain_ids=domain_ids,
+            domain="sketch", domainnet_classes=classes,
+        )
+
 
 def test_topk_and_ckpt_key():
     scores = np.array([[0.1, 0.5, 0.4], [0.9, 0.05, 0.05]])

@@ -169,6 +169,40 @@ class TestAttribution:
         assert e.shape == (3, 2)
         assert np.isfinite(e).all()
 
+    def test_edge_attribution_patch_input(self):
+        """Patch-input IG edge effects: (1) a zero patch input must reproduce
+        the patch=None path (the linear toy maps zero images to zero states),
+        (2) a generic patch matches the closed-form value — the per-step MSE
+        gradient is linear in alpha, so mean-grad = grad at alpha=(s-1)/2s."""
+        toy = _LinearToy()
+        dicts = {"a": IdentityDict(4), "b": IdentityDict(5)}
+        up_idx = np.array([0, 1, 2, 3])
+        down_idx = np.array([0, 1, 2, 3, 4])
+        kw = dict(upstream_neurons=up_idx, downstream_neurons=down_idx, steps=4)
+
+        e_none = upstream_neuron_attribution(toy.x, None, toy, "a", "b", dicts, **kw)
+        e_zero = upstream_neuron_attribution(
+            toy.x, jnp.zeros_like(toy.x), toy, "a", "b", dicts, **kw)
+        np.testing.assert_allclose(e_zero, e_none, rtol=1e-5, atol=1e-6)
+
+        patch = jnp.asarray(np.random.RandomState(3).randn(2, 1, 4).astype(np.float32))
+        e = upstream_neuron_attribution(toy.x, patch, toy, "a", "b", dicts, **kw)
+
+        a = np.asarray(toy.x)            # (B, S, 4) clean upstream state
+        ap = np.asarray(patch)           # patch upstream state (IdentityDict)
+        w1 = np.asarray(toy.w1)
+        steps = 4
+        alpha_bar = (steps - 1) / (2 * steps)
+        n = a.shape[0] * a.shape[1]      # MSE mean over (B, S)
+        diff_d = (a - ap) @ w1           # (B, S, 5): b_clean - f@w1 at alpha=1
+        expected = np.zeros((len(down_idx), len(up_idx)))
+        for di, d in enumerate(down_idx):
+            # mean IG grad wrt f[..., c] = -2/n * alpha_bar * diff_d[..., d] * w1[c, d]
+            grad = -2.0 / n * alpha_bar * diff_d[..., d][..., None] * w1[None, None, :, d]
+            eff = grad * (ap - a)        # grad * delta
+            expected[di] = eff.sum(axis=1).mean(axis=0)[up_idx]
+        np.testing.assert_allclose(e, expected, rtol=1e-4, atol=1e-6)
+
 
 TINY_RN = {
     "embed_dim": 16,

@@ -68,8 +68,8 @@ def domain_ids_from_samples(samples: Sequence[Tuple[str, int, str]]) -> np.ndarr
 
 def evaluate_lso(
     *,
-    val_labels: np.ndarray,
-    val_pred: np.ndarray,
+    val_labels: Optional[np.ndarray] = None,
+    val_pred: Optional[np.ndarray] = None,
     domain_labels: np.ndarray,
     domain_pred: np.ndarray,
     domain_ids: np.ndarray,
@@ -79,9 +79,19 @@ def evaluate_lso(
 ) -> Dict:
     """Pure-metrics stage of the protocol (reference evaluate_model:49-131),
     computed from predictions so it is reusable across zero-shot, top-k and
-    supervised evaluators."""
+    supervised evaluators.
+
+    ``val_labels``/``val_pred`` are optional: the supervised protocol
+    (reference scripts/evaluate_domainnet_supervised_lso.py:38-109) reports
+    DomainNet only — pass neither and ``imagenet-val`` comes back empty.
+    """
+    if (val_labels is None) != (val_pred is None):
+        raise ValueError("val_labels and val_pred must be provided together")
     res = {
-        "imagenet-val": {"accuracy": {"total": accuracy_score(val_labels, val_pred)}},
+        "imagenet-val": {
+            "accuracy": {} if val_labels is None
+            else {"total": accuracy_score(val_labels, val_pred)}
+        },
         "domainnet-val": {"accuracy": {}, "num-samples": {}},
     }
     acc = res["domainnet-val"]["accuracy"]

@@ -142,8 +142,6 @@ def upstream_neuron_attribution(
     """
     if method != "ig":
         raise NotImplementedError(method)
-    if patch is not None:
-        raise NotImplementedError("patch inputs not supported (reference :299-305)")
 
     up_dict, down_dict = dictionaries[upstream], dictionaries[downstream]
     acts = model.activations(images)
@@ -151,6 +149,19 @@ def upstream_neuron_attribution(
     up_f = up_dict.encode(up_x)
     up_res = up_x - up_dict.decode(up_f)
     down_clean = down_dict.encode(acts[downstream])
+
+    if patch is None:
+        # IG toward the zero state; delta = -clean (reference :299-302)
+        patch_f = jnp.zeros_like(up_f)
+        patch_res = jnp.zeros_like(up_res)
+    else:
+        # IG from the clean toward the patch upstream state; delta =
+        # patch - clean (the reference's documented-but-unshipped patch
+        # branch, attribution.py:305-317 commented code + :356-360)
+        patch_acts = model.activations(patch)
+        patch_x = patch_acts[upstream]
+        patch_f = up_dict.encode(patch_x)
+        patch_res = patch_x - up_dict.decode(patch_f)
 
     down_idx = jnp.asarray(np.asarray(downstream_neurons))
     up_idx = np.asarray(upstream_neurons)
@@ -167,8 +178,8 @@ def upstream_neuron_attribution(
 
         def body(acc, step):
             alpha = step / steps
-            pt_act = (1 - alpha) * up_f
-            pt_res = (1 - alpha) * up_res
+            pt_act = (1 - alpha) * up_f + alpha * patch_f
+            pt_res = (1 - alpha) * up_res + alpha * patch_res
             g = grad_fn(pt_act, pt_res, neuron)
             return jax.tree_util.tree_map(jnp.add, acc, g), None
 
@@ -176,7 +187,7 @@ def upstream_neuron_attribution(
         (g_act, _), _ = jax.lax.scan(body, zeros, jnp.arange(steps, dtype=jnp.float32))
         mean_grad = g_act / steps
         # effect.act = grad * delta; sum spatial, mean batch -> (C_up,)
-        effect = mean_grad * (-up_f)
+        effect = mean_grad * (patch_f - up_f)
         return jnp.mean(jnp.sum(effect, axis=1), axis=0)
 
     per_down = jax.jit(jax.vmap(mean_grad_for))(down_idx)  # (n_down, C_up)
