@@ -111,6 +111,87 @@ class TestSmallModels:
             np.testing.assert_array_equal(v.numpy(), sd[k], err_msg=k)
 
 
+SMALL_CLIPA = {
+    # CLIPA-style tower flags at toy scale (ViT-*-CLIPA configs:
+    # no_ln_pre + avg pool + final_ln_after_pool, text last-pool without
+    # causal mask — reference model_configs/ViT-L-14-CLIPA.json)
+    "embed_dim": 64,
+    "vision_cfg": {
+        "image_size": 64, "layers": 2, "width": 64, "patch_size": 16, "head_width": 16,
+        "no_ln_pre": True, "pool_type": "avg", "final_ln_after_pool": True,
+    },
+    "text_cfg": {
+        "context_length": 77, "vocab_size": 49408, "width": 64, "heads": 4, "layers": 2,
+        "pool_type": "last", "no_causal_mask": True,
+    },
+}
+SMALL_LS = {
+    # LayerScale towers (ViT-M-16-alt.json ls_init_value)
+    "embed_dim": 64,
+    "vision_cfg": {
+        "image_size": 64, "layers": 2, "width": 64, "patch_size": 16, "head_width": 16,
+        "ls_init_value": 1e-4,
+    },
+    "text_cfg": {
+        "context_length": 77, "vocab_size": 49408, "width": 64, "heads": 4, "layers": 2,
+        "ls_init_value": 1e-4,
+    },
+}
+
+
+class TestTowerVariants:
+    def test_clipa_style_parity(self):
+        _parity_case(SMALL_CLIPA, quick_gelu=False)
+
+    def test_layerscale_parity(self):
+        ref, model, params, state = _parity_case(SMALL_LS, quick_gelu=False)
+        # gamma actually present in the mapped pytree (not silently dropped)
+        assert "ls_1" in params["visual"]["blocks"][0]
+        assert "ls_2" in params["text"]["blocks"][0]
+
+    def test_variant_roundtrip_export(self):
+        """CLIPA + LayerScale params -> open_clip sd -> strict-compatible load."""
+        import torch
+
+        for cfg_dict in (SMALL_CLIPA, SMALL_LS):
+            ref = _build_ref_model(cfg_dict)
+            sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+            model = CLIPModel(clip_cfg_from_dict(cfg_dict))
+            params, state = open_clip_state_dict_to_pytrees(sd, model)
+            sd2 = pytrees_to_open_clip_state_dict(model, params, state)
+            ref2 = _build_ref_model(cfg_dict)
+            missing, unexpected = ref2.load_state_dict(
+                {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd2.items()},
+                strict=False,
+            )
+            missing = [k for k in missing if k == "attn_mask" or "num_batches_tracked" in k]
+            assert not missing, missing
+            assert not unexpected, unexpected
+
+
+def test_config_zoo_matches_reference():
+    """Every shipped model config parses, and any same-named reference config
+    must agree field-for-field (reference pattern: tests/util_test.py's
+    per-config model coverage). ViT-B-16-SigLIP is the documented exception
+    (timm tower replaced by a plain ViT)."""
+    import json
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "xclip_tpu", "models", "configs")
+    ref_dir = "/root/reference/deps/open_clip/src/open_clip/model_configs"
+    names = sorted(f for f in os.listdir(cfg_dir) if f.endswith(".json"))
+    assert len(names) >= 45
+    for fname in names:
+        with open(os.path.join(cfg_dir, fname)) as fh:
+            d = json.load(fh)
+        if "multimodal_cfg" not in d:  # CoCa configs parse via the coca factory
+            cfg = clip_cfg_from_dict(d, quick_gelu=bool(d.get("quick_gelu", False)))
+            assert cfg.embed_dim == d["embed_dim"]
+        ref_path = os.path.join(ref_dir, fname)
+        if fname != "ViT-B-16-SigLIP.json" and os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                assert d == json.load(fh), fname
+
+
 @pytest.mark.slow
 def test_full_rn50_parity():
     _parity_case(

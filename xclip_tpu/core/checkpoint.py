@@ -326,6 +326,9 @@ def _map_block(flat, sd, base_out: str, base_in: str, dim: int) -> None:
     _map_ln(flat, sd, f"{base_out}{SEP}ln_2", f"{base_in}.ln_2")
     _map_linear(flat, sd, f"{base_out}{SEP}mlp{SEP}c_fc", f"{base_in}.mlp.c_fc")
     _map_linear(flat, sd, f"{base_out}{SEP}mlp{SEP}c_proj", f"{base_in}.mlp.c_proj")
+    for ls in ("ls_1", "ls_2"):  # LayerScale gamma (reference transformer.py:89-99)
+        if f"{base_in}.{ls}.gamma" in sd:
+            flat[f"{base_out}{SEP}{ls}"] = sd[f"{base_in}.{ls}.gamma"]
 
 
 def infer_clip_cfg_from_state_dict(sd: Dict[str, np.ndarray]):
@@ -433,7 +436,8 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
             sd["visual.positional_embedding"], cfg.vision.seq_len
         )
         pflat[f"{v}{SEP}proj"] = sd["visual.proj"]
-        _map_ln(pflat, sd, f"{v}{SEP}ln_pre", "visual.ln_pre")
+        if "visual.ln_pre.weight" in sd:  # absent for no_ln_pre (CLIPA) towers
+            _map_ln(pflat, sd, f"{v}{SEP}ln_pre", "visual.ln_pre")
         _map_ln(pflat, sd, f"{v}{SEP}ln_post", "visual.ln_post")
         for i in range(cfg.vision.layers):
             _map_block(pflat, sd, f"{v}{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
@@ -482,6 +486,9 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
         put_ln(f"{dst}.ln_2", f"{src}{SEP}ln_2")
         put_lin(f"{dst}.mlp.c_fc", f"{src}{SEP}mlp{SEP}c_fc")
         put_lin(f"{dst}.mlp.c_proj", f"{src}{SEP}mlp{SEP}c_proj")
+        for ls in ("ls_1", "ls_2"):
+            if f"{src}{SEP}{ls}" in p:
+                sd[f"{dst}.{ls}.gamma"] = p[f"{src}{SEP}{ls}"]
 
     sd["token_embedding.weight"] = p[f"text{SEP}token_embedding"]
     sd["positional_embedding"] = p[f"text{SEP}positional_embedding"]
@@ -517,7 +524,8 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
         sd["visual.class_embedding"] = p[f"visual{SEP}class_embedding"]
         sd["visual.positional_embedding"] = p[f"visual{SEP}positional_embedding"]
         sd["visual.proj"] = p[f"visual{SEP}proj"]
-        put_ln("visual.ln_pre", f"visual{SEP}ln_pre")
+        if f"visual{SEP}ln_pre{SEP}scale" in p:  # absent for no_ln_pre towers
+            put_ln("visual.ln_pre", f"visual{SEP}ln_pre")
         put_ln("visual.ln_post", f"visual{SEP}ln_post")
         for i in range(cfg.vision.layers):
             put_block(f"visual.transformer.resblocks.{i}", f"visual{SEP}blocks{SEP}{i}", cfg.vision.width)

@@ -81,6 +81,10 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
             attentional_pool=bool(v.get("attentional_pool", False)),
             attn_pooler_queries=v.get("attn_pooler_queries", 256),
             attn_pooler_heads=v.get("attn_pooler_heads", 8),
+            pool_type=v.get("pool_type", "tok"),
+            final_ln_after_pool=bool(v.get("final_ln_after_pool", False)),
+            no_ln_pre=bool(v.get("no_ln_pre", False)),
+            ls_init_value=v.get("ls_init_value"),
         )
     text = T.TextTransformerCfg(
         context_length=t.get("context_length", 77),
@@ -92,6 +96,8 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
         output_dim=embed_dim,
         act=act,
         no_causal_mask=t.get("no_causal_mask", False),
+        pool_type=t.get("pool_type", "argmax"),
+        ls_init_value=t.get("ls_init_value"),
     )
     kwargs = {}
     if "init_logit_scale" in d:

@@ -37,6 +37,8 @@ class VisionTransformerCfg:
     act: str = "gelu"  # or quick_gelu
     pool_type: str = "tok"
     final_ln_after_pool: bool = False
+    no_ln_pre: bool = False  # CLIPA-style towers skip the pre-LN
+    ls_init_value: Optional[float] = None  # LayerScale init (None = off)
     attention_impl: str = "einsum"  # 'flash' for the Pallas kernel (long seqs)
     patch_dropout: float = 0.0  # fraction of patch tokens dropped in training
     attentional_pool: bool = False  # AttentionalPooler head (model.py:494-530)
@@ -64,6 +66,7 @@ class TextTransformerCfg:
     act: str = "gelu"
     pool_type: str = "argmax"
     no_causal_mask: bool = False
+    ls_init_value: Optional[float] = None
     attention_impl: str = "einsum"
 
 
@@ -71,14 +74,15 @@ class TextTransformerCfg:
 # residual attention block
 
 
-def block_init(rng, width: int, heads: int, mlp_ratio: float, *, layers_for_init: int = 12):
+def block_init(rng, width: int, heads: int, mlp_ratio: float, *, layers_for_init: int = 12,
+               ls_init_value: Optional[float] = None):
     keys = jax.random.split(rng, 3)
     mlp_width = int(width * mlp_ratio)
     proj_std = (width**-0.5) * ((2 * layers_for_init) ** -0.5)
     fc_std = (2 * width) ** -0.5
     attn = L.mha_init(keys[0], width, num_heads=heads, std=width**-0.5)
     attn["out"]["kernel"] = jax.random.normal(keys[1], attn["out"]["kernel"].shape) * proj_std
-    return {
+    params = {
         "ln_1": L.layernorm_init(width),
         "attn": attn,
         "ln_2": L.layernorm_init(width),
@@ -87,19 +91,29 @@ def block_init(rng, width: int, heads: int, mlp_ratio: float, *, layers_for_init
             "c_proj": L.linear_init(jax.random.fold_in(keys[2], 1), mlp_width, width, std=proj_std),
         },
     }
+    if ls_init_value is not None:
+        # LayerScale (reference transformer.py:89-99): per-channel learnable
+        # gamma on each residual branch
+        params["ls_1"] = jnp.full((width,), ls_init_value, jnp.float32)
+        params["ls_2"] = jnp.full((width,), ls_init_value, jnp.float32)
+    return params
+
+
+def _ls(params, key, y):
+    return y * params[key].astype(y.dtype) if key in params else y
 
 
 def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] = None, dtype=None,
                 attention_impl: str = "einsum", causal: bool = False):
     act_fn = L.ACT_FNS[act]
     y = L.layernorm_apply(params["ln_1"], x)
-    x = x + L.mha_apply(params["attn"], y, num_heads=heads, mask=mask, dtype=dtype,
-                        impl=attention_impl, causal=causal)
+    x = x + _ls(params, "ls_1", L.mha_apply(params["attn"], y, num_heads=heads, mask=mask,
+                                            dtype=dtype, impl=attention_impl, causal=causal))
     y = L.layernorm_apply(params["ln_2"], x)
     y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
     y = act_fn(y)
     y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
-    return x + y
+    return x + _ls(params, "ls_2", y)
 
 
 def _run_blocks(
@@ -142,7 +156,6 @@ def vit_init(rng, cfg: VisionTransformerCfg):
         "conv1": L.conv_init(keys[0], 3, cfg.width, cfg.patch_size),
         "class_embedding": scale * jax.random.normal(keys[1], (cfg.width,), jnp.float32),
         "positional_embedding": scale * jax.random.normal(keys[2], (cfg.seq_len, cfg.width), jnp.float32),
-        "ln_pre": L.layernorm_init(cfg.width),
         "blocks": [],
         "ln_post": L.layernorm_init(cfg.output_dim if cfg.attentional_pool else cfg.width),
         "proj": scale * jax.random.normal(
@@ -151,6 +164,8 @@ def vit_init(rng, cfg: VisionTransformerCfg):
             jnp.float32,
         ),
     }
+    if not cfg.no_ln_pre:
+        params["ln_pre"] = L.layernorm_init(cfg.width)
     if cfg.attentional_pool:
         from xclip_tpu.models.coca import attn_pooler_init
 
@@ -160,7 +175,8 @@ def vit_init(rng, cfg: VisionTransformerCfg):
     for _ in range(cfg.layers):
         rng, sub = jax.random.split(rng)
         params["blocks"].append(
-            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers)
+            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers,
+                       ls_init_value=cfg.ls_init_value)
         )
     return params
 
@@ -210,7 +226,7 @@ def vit_apply(
             keep = jnp.argsort(-scores, axis=-1)[:, :n_keep]
             patches = jnp.take_along_axis(patches, keep[..., None], axis=1)
             tokens = jnp.concatenate([cls_tok, patches], axis=1)
-        x = L.layernorm_apply(params["ln_pre"], tokens)
+        x = tokens if cfg.no_ln_pre else L.layernorm_apply(params["ln_pre"], tokens)
         if "embed" in capture:
             inters["embed"] = x
         start = 1
@@ -266,7 +282,8 @@ def text_init(rng, cfg: TextTransformerCfg):
     for _ in range(cfg.layers):
         rng, sub = jax.random.split(rng)
         params["blocks"].append(
-            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers)
+            block_init(sub, cfg.width, cfg.heads, cfg.mlp_ratio, layers_for_init=cfg.layers,
+                       ls_init_value=cfg.ls_init_value)
         )
     return params
 
