@@ -18,8 +18,9 @@ if __name__ == "__main__":
     parser.add_argument("--domainnet_path", type=str, required=True)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--domain_invariant", action="store_true")
-    parser.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16"],
-                        help="eval encoder precision (reference uses fp16; bf16 on TPU)")
+    parser.add_argument("--precision", type=str, default="fp32", choices=["fp32", "bf16", "fp16"],
+                        help="eval encoder precision; fp16 reproduces the reference's "
+                             ".half() eval numerics (fp16 storage rounding)")
     parser.add_argument("--topk", type=int, nargs="+", default=[1, 5, 10])
     args = parser.parse_args()
     run_lso_evaluation(

@@ -145,6 +145,42 @@ def test_lso_metrics_synthetic():
         )
 
 
+def test_eval_precision_numerics(tiny_model):
+    """Quantify the fp16/bf16-vs-fp32 eval-path deltas underpinning the
+    ±0.1% LSO parity target (the reference evaluates .half() encoders —
+    evaluate_domainnet_lso_openai.py:30). fp16 ('float16' policy) must track
+    fp32 features closely and the fp16-score matmul must bound-score any
+    argmax flip to near-ties only."""
+    import jax.numpy as jnp
+
+    model, params, state = tiny_model
+    tok = SimpleTokenizer()
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(64, 32, 32, 3).astype(np.float32)
+    classes = ["dog", "cat", "car", "tree", "fish"]
+
+    feats, scores = {}, {}
+    for name, dtype in (("fp32", None), ("bf16", jnp.bfloat16), ("fp16", jnp.float16)):
+        f, _, _ = model.encode_image(params, imgs, state=state, normalize=True, dtype=dtype)
+        f = np.asarray(f, np.float32)
+        clf = OpenAIZeroShotClassifier(model, params, tok, classes, dtype=dtype)
+        pf = clf.prompt_feat.astype(np.float16 if name == "fp16" else np.float32)
+        feats[name] = f
+        scores[name] = (f.astype(pf.dtype) @ pf.T).astype(np.float32)
+
+    # feature agreement: half precisions within ~1e-2 of fp32 on unit vectors
+    assert np.abs(feats["fp16"] - feats["fp32"]).max() < 1e-2
+    assert np.abs(feats["bf16"] - feats["fp32"]).max() < 4e-2
+    # score agreement: any prediction flip can only happen on ties closer
+    # than these bounds (scores are cosine similarities in [-1, 1])
+    d16 = np.abs(scores["fp16"] - scores["fp32"]).max()
+    dbf = np.abs(scores["bf16"] - scores["fp32"]).max()
+    assert d16 < 1e-2, d16
+    assert dbf < 4e-2, dbf
+    # fp16 is the tighter mirror of the reference protocol
+    assert d16 <= dbf
+
+
 def test_topk_and_ckpt_key():
     scores = np.array([[0.1, 0.5, 0.4], [0.9, 0.05, 0.05]])
     y = np.array([2, 0])

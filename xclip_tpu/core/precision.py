@@ -39,6 +39,11 @@ _POLICIES = {
     "amp_bf16": Policy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16),
     "amp_bfloat16": Policy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16),
     "fp16": Policy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16),
+    # true IEEE half compute: the reference evaluates with .half() encoders
+    # (evaluate_domainnet_lso_openai.py:30); TPU stores fp16 and upconverts on
+    # the MXU, so this reproduces fp16 storage rounding at bf16-like speed.
+    "float16": Policy(param_dtype=jnp.float32, compute_dtype=jnp.float16,
+                      output_dtype=jnp.float16),
 }
 
 

@@ -66,19 +66,29 @@ def evaluate_checkpoint(
     precision: str = "fp32",
 ):
     """Single-checkpoint evaluation (reference evaluate_model:39-132).
-    ``precision='bf16'`` mirrors the reference's ``.half()`` eval encoders
-    (evaluate_domainnet_lso_openai.py:30) — ~2x image-encode throughput."""
+    ``precision='bf16'`` approximates and ``precision='fp16'`` reproduces the
+    reference's ``.half()`` eval encoders (evaluate_domainnet_lso_openai.py:30)
+    — both ~2x image-encode throughput; fp16 additionally stores features and
+    classifier weights as IEEE half so the score matmul rounds like torch's."""
     from xclip_tpu.core.precision import get_policy
 
+    if precision in ("fp16", "float16"):
+        precision = "float16"
     dtype = get_policy(precision).compute_dtype if precision != "fp32" else None
+    half = np.float16 if precision == "float16" else None
+
+    def maybe_half(feat):
+        return feat.astype(half) if half is not None else feat
+
     val_data = extract_image_features(
         model, params, state, data["val"], batch_size=batch_size, num_threads=num_threads,
         dtype=dtype,
     )
     zs = OpenAIZeroShotClassifier(
-        model, params, tokenizer, XCLIP_IMAGENET_CLASSES, domain_invariant
+        model, params, tokenizer, XCLIP_IMAGENET_CLASSES, domain_invariant, dtype=dtype
     )
-    val_scores = zs.predict_from_features(val_data["img_feat"], return_scores=True)["pred"]
+    zs.prompt_feat = maybe_half(zs.prompt_feat)
+    val_scores = zs.predict_from_features(maybe_half(val_data["img_feat"]), return_scores=True)["pred"]
     val_pred = val_scores.argmax(axis=1)
     val_labels = np.asarray(val_data["clss"])
 
@@ -89,8 +99,10 @@ def evaluate_checkpoint(
     domain_ids = domain_ids_from_samples(data["domain"].samples)
     assert np.unique(domain_ids).size == 2  # real + the target domain
 
-    zs_dn = OpenAIZeroShotClassifier(model, params, tokenizer, domainnet_classes, domain_invariant)
-    dn_scores = zs_dn.predict_from_features(domain_data["img_feat"], return_scores=True)["pred"]
+    zs_dn = OpenAIZeroShotClassifier(model, params, tokenizer, domainnet_classes,
+                                     domain_invariant, dtype=dtype)
+    zs_dn.prompt_feat = maybe_half(zs_dn.prompt_feat)
+    dn_scores = zs_dn.predict_from_features(maybe_half(domain_data["img_feat"]), return_scores=True)["pred"]
     domain_pred = dn_scores.argmax(axis=1)
     domain_labels = np.asarray(domain_data["clss"])
 
