@@ -56,20 +56,147 @@ def install_stubs() -> None:
                 bias = self.bias - self.running_mean * scale
                 return x * scale[None, :, None, None] + bias[None, :, None, None]
 
+        # Functional minimal re-implementations of the torchvision pieces the
+        # reference eval path uses (PIL-backed, matching torchvision's own
+        # PIL dispatch bit-for-bit) so reference scripts can actually *run*
+        # here for cross-stack protocol parity, not just import.
+        import os as _os
+
+        from PIL import Image as _Image
+
+        class InterpolationMode:
+            BICUBIC = _Image.BICUBIC
+            BILINEAR = _Image.BILINEAR
+            NEAREST = _Image.NEAREST
+
+        def _interp(mode):
+            return mode if isinstance(mode, int) else {"bicubic": _Image.BICUBIC,
+                                                       "bilinear": _Image.BILINEAR}[str(mode)]
+
+        class Compose:
+            def __init__(self, transforms):
+                self.transforms = list(transforms)
+
+            def __call__(self, img):
+                for t in self.transforms:
+                    img = t(img)
+                return img
+
+        class Resize:
+            def __init__(self, size, interpolation=InterpolationMode.BILINEAR, **kw):
+                self.size = size
+                self.interpolation = _interp(interpolation)
+
+            def __call__(self, img):
+                if isinstance(self.size, (tuple, list)):
+                    h, w = self.size
+                    return img.resize((w, h), self.interpolation)
+                w, h = img.size  # int size: resize shortest edge, keep ratio
+                short, long = (w, h) if w <= h else (h, w)
+                if short == self.size:
+                    return img
+                new_short = self.size
+                new_long = int(round(self.size * long / short))
+                nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+                return img.resize((nw, nh), self.interpolation)
+
+        class CenterCrop:
+            def __init__(self, size):
+                self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+            def __call__(self, img):
+                th, tw = self.size
+                w, h = img.size
+                if w < tw or h < th:  # torchvision zero-pads short sides
+                    padded = _Image.new(img.mode, (max(w, tw), max(h, th)))
+                    padded.paste(img, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
+                    img, (w, h) = padded, padded.size
+                left = int(round((w - tw) / 2.0))
+                top = int(round((h - th) / 2.0))
+                return img.crop((left, top, left + tw, top + th))
+
+        class ToTensor:
+            def __call__(self, img):
+                import numpy as _np
+                arr = _np.asarray(img, dtype=_np.uint8)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                t = torch.from_numpy(arr.copy()).permute(2, 0, 1).contiguous()
+                return t.to(torch.float32).div(255.0)
+
+        class Normalize:
+            def __init__(self, mean, std, **kw):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, t):
+                return (t - self.mean) / self.std
+
+        class RandomResizedCrop:
+            # constructible for import-time; eval path never calls it
+            def __init__(self, *a, **kw):
+                pass
+
+            def __call__(self, img):
+                raise NotImplementedError("train-path transform not stubbed")
+
+        class ColorJitter(RandomResizedCrop):
+            pass
+
+        class Grayscale(RandomResizedCrop):
+            pass
+
         tv = _stub("torchvision")
         ops = _stub("torchvision.ops")
         misc = _stub("torchvision.ops.misc", FrozenBatchNorm2d=FrozenBatchNorm2d)
-        transforms = _stub("torchvision.transforms")
+        transforms = _stub(
+            "torchvision.transforms",
+            Normalize=Normalize, Compose=Compose, RandomResizedCrop=RandomResizedCrop,
+            ToTensor=ToTensor, Resize=Resize, CenterCrop=CenterCrop,
+            InterpolationMode=InterpolationMode, ColorJitter=ColorJitter, Grayscale=Grayscale,
+        )
         tv.ops = ops
         ops.misc = misc
         tv.transforms = transforms
-        for cls in (
-            "Normalize", "Compose", "RandomResizedCrop", "ToTensor", "Resize",
-            "CenterCrop", "InterpolationMode", "ColorJitter", "Grayscale",
-        ):
-            setattr(transforms, cls, type(cls, (), {"BICUBIC": "bicubic", "BILINEAR": "bilinear"}))
         _stub("torchvision.transforms.v2")
         _stub("torchvision.transforms.functional", get_image_size=lambda img: img.size)
+
+        class ImageFolder(torch.utils.data.Dataset):
+            """Minimal torchvision ImageFolder: sorted class dirs -> indices,
+            sorted files, PIL RGB loader."""
+
+            def __init__(self, root, transform=None, target_transform=None, **kw):
+                self.root = root
+                self.transform = transform
+                self.target_transform = target_transform
+                self.classes = sorted(
+                    d for d in _os.listdir(root) if _os.path.isdir(_os.path.join(root, d))
+                )
+                self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+                self.samples = []
+                for c in self.classes:
+                    cdir = _os.path.join(root, c)
+                    for f in sorted(_os.listdir(cdir)):
+                        self.samples.append((_os.path.join(cdir, f), self.class_to_idx[c]))
+                self.imgs = self.samples
+
+            def __len__(self):
+                return len(self.samples)
+
+            def __getitem__(self, idx):
+                path, target = self.samples[idx]
+                with _Image.open(path) as img:
+                    sample = img.convert("RGB")
+                if self.transform is not None:
+                    sample = self.transform(sample)
+                if self.target_transform is not None:
+                    target = self.target_transform(target)
+                return sample, target
+
+        datasets_mod = _stub("torchvision.datasets", ImageFolder=ImageFolder)
+        _stub("torchvision.datasets.folder", ImageFolder=ImageFolder,
+              default_loader=lambda p: _Image.open(p).convert("RGB"))
+        tv.datasets = datasets_mod
     if _missing("timm"):
         _stub("timm", create_model=None)
         sys.modules["timm.layers"] = _stub(
@@ -140,6 +267,27 @@ def import_reference_open_clip():
     import open_clip  # noqa: F401
 
     return open_clip
+
+
+def setup_reference_xclip() -> None:
+    """Make ``import xclip.<mod>`` work WITHOUT executing xclip/__init__.py
+    (which pulls pytorch_lightning, absent here): installs a package shell
+    whose __path__ points at the reference tree, plus a textacy stub
+    (only used for html-tag stripping in a caption path)."""
+    install_stubs()
+    if _missing("textacy"):
+        tx = _stub("textacy")
+        pre = _stub("textacy.preprocessing")
+        rem = _stub("textacy.preprocessing.remove", html_tags=lambda s: s)
+        pre.remove = rem
+        tx.preprocessing = pre
+    if OPEN_CLIP_SRC not in sys.path:
+        sys.path.insert(0, OPEN_CLIP_SRC)
+    if "xclip" not in sys.modules:
+        pkg = types.ModuleType("xclip")
+        pkg.__path__ = [f"{REFERENCE_ROOT}/xclip"]
+        pkg.__spec__ = importlib.machinery.ModuleSpec("xclip", None, is_package=True)
+        sys.modules["xclip"] = pkg
 
 
 def import_reference_module(name: str, path: str):
