@@ -20,6 +20,107 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
 
 
+def _build_synthetic_tsv_tree(root: str, n_images: int = 512, size: int = 320) -> str:
+    """Random-JPEG TSV tree for the host-fed pipeline bench."""
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    rows = ["filepath\ttitle"]
+    for i in range(n_images):
+        path = os.path.join(root, "imgs", f"{i}.jpg")
+        if not os.path.exists(path):
+            Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8)).save(
+                path, quality=90
+            )
+        rows.append(f"{path}\ta photo of synthetic noise number {i} for benchmarking")
+    tsv = os.path.join(root, "train.tsv")
+    with open(tsv, "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    return tsv
+
+
+def main_e2e():
+    """Host-fed end-to-end mode (BENCH_E2E=1): the jitted step consumes
+    batches decoded by the real fastimage/DataLoader pipeline from a
+    synthetic TSV tree; reports data_time/batch_time (reference meters,
+    training/train.py:82-85,216-233) and the host-stall fraction."""
+    import jax
+    import numpy as np
+
+    from xclip_tpu.data.datasets import TsvDataset
+    from xclip_tpu.data.fastimage import FastFileTransform
+    from xclip_tpu.data.loader import DataLoader, tokenizing_collate
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.models.factory import create_model
+    from xclip_tpu.tokenizer import SimpleTokenizer
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    model_name = os.environ.get("BENCH_MODEL", "RN50")
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 1)))
+
+    tsv = _build_synthetic_tsv_tree(os.environ.get("BENCH_TREE", "/tmp/bench_tsv_tree"))
+
+    mesh = create_mesh()
+    model, params, state = create_model(model_name, precision="bf16")
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 500, 10000), weight_decay=0.2)
+    opt_state = tx.init(params)
+    step = make_train_step(
+        model, tx, mesh,
+        TrainStepCfg(precision="bf16", accum_freq=1, grad_checkpointing=False, local_loss=True),
+    )
+
+    global_batch = per_chip_batch * jax.device_count()
+    ds = TsvDataset(tsv, img_transform=FastFileTransform(model.cfg.image_size, is_train=True))
+    loader = DataLoader(
+        ds, global_batch, shuffle=True, seed=0, drop_last=True,
+        num_threads=workers, collate=tokenizing_collate(SimpleTokenizer()),
+    )
+
+    def batches():
+        while True:
+            loader.set_epoch(int(time.time()))
+            yield from loader
+
+    it = batches()
+    # warmup (includes compile) with a hard sync at the end
+    for _ in range(warmup):
+        batch = shard_batch(mesh, next(it))
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+    float(metrics["loss"])
+
+    # steady state: per-step host wait is measured directly; device work is
+    # pipelined (donated params chain step-to-step) and synced once at the
+    # end — per-step value fetches would add a relay RTT to every step.
+    data_t = []
+    t0 = time.perf_counter()
+    end = t0
+    for _ in range(steps):
+        batch = shard_batch(mesh, next(it))
+        data_t.append(time.perf_counter() - end)
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+        end = time.perf_counter()
+    float(metrics["loss"])
+    batch_time = (time.perf_counter() - t0) / steps
+    data_time = float(np.mean(data_t))
+    print(json.dumps({
+        "metric": f"{model_name} CLIP host-fed e2e train throughput",
+        "value": round(global_batch / batch_time / jax.device_count(), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(global_batch / batch_time / jax.device_count()
+                             / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        "data_time": round(data_time, 4),
+        "batch_time": round(batch_time, 4),
+        "stall_fraction": round(max(data_time, 0.0) / batch_time, 4),
+        "workers": workers,
+    }))
+
+
 def main():
     import jax
     import numpy as np
@@ -97,4 +198,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_E2E") == "1":
+        main_e2e()
+    else:
+        main()

@@ -101,3 +101,38 @@ class TestMaskTokenize:
         except ImportError:
             with pytest.raises(ImportError, match="nltk"):
                 syntax_mask_tokenize("a cat", context_length=8)
+
+    def test_syntax_mask_with_stub_tagger(self):
+        """Selection logic pinned with an injected POS tagger (reference
+        tokenizer.py:349-371): nouns beat adjectives beat verbs beat the
+        rest, kept words stay in original sentence order, overflow is
+        truncated with a forced EOT."""
+        from xclip_tpu.tokenizer import syntax_mask_tokenize
+
+        tok = SimpleTokenizer()
+        TAGS = {"cat": "NN", "dog": "NNS", "red": "JJ", "runs": "VB",
+                "the": "DT", "quickly": "RB"}
+
+        def pos_tag(words):
+            return [(w, TAGS.get(w, "DT")) for w in words]
+
+        # 6 words, room for 3: the two nouns + the adjective survive, in
+        # original order ("red" precedes "dog" in the sentence)
+        text = "the cat red dog runs quickly"
+        out = syntax_mask_tokenize(
+            [text], context_length=5, tokenizer=tok,
+            word_tokenize=str.split, pos_tag=pos_tag,
+        )[0]
+        expected = tok.encode("cat red dog")
+        assert [int(t) for t in out[1:4]] == list(expected)
+        assert out[0] == tok.sot_token_id and out[4] == tok.eot_token_id
+
+        # words that explode into multiple BPE tokens: truncate + forced EOT
+        text2 = "extraordinarily cat phantasmagorical"
+        out2 = syntax_mask_tokenize(
+            [text2], context_length=4, tokenizer=tok,
+            word_tokenize=str.split, pos_tag=lambda ws: [(w, "NN") for w in ws],
+        )[0]
+        assert out2[0] == tok.sot_token_id
+        assert out2[-1] == tok.eot_token_id
+        assert all(t != 0 for t in out2)

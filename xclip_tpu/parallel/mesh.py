@@ -51,9 +51,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays with equal leading dim) onto the
-    mesh, split along the data axis."""
+    mesh, split along the data axis.
+
+    Each process passes its *process-local* shard (sized by
+    ``jax.local_device_count()``); the global array is assembled across
+    hosts with ``jax.make_array_from_process_local_data`` — the JAX
+    equivalent of the reference's per-rank DistributedSampler batches
+    (training/data.py). Single-process, this is identical to a sharded
+    ``device_put``."""
     sharding = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

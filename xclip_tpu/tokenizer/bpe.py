@@ -291,23 +291,36 @@ def syntax_mask_tokenize(
     context_length: int = DEFAULT_CONTEXT_LENGTH,
     *,
     tokenizer: Optional[SimpleTokenizer] = None,
+    word_tokenize=None,
+    pos_tag=None,
 ) -> np.ndarray:
-    """Part-of-speech-prioritized masking (nouns > adjectives > verbs;
-    reference tokenizer.py:331-401). Requires nltk; raises ImportError with
-    guidance when it is unavailable (not baked into this image)."""
-    try:
-        import nltk
-    except ImportError as exn:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "syntax_mask_tokenize requires nltk, which is not available in "
-            "this environment; use random_mask_tokenize or simple_mask_tokenize"
-        ) from exn
+    """Part-of-speech-prioritized masking (nouns > adjectives > verbs > rest;
+    reference tokenizer.py:331-401): tag the sentence, keep the
+    ``context_length - 2`` highest-priority words in their original order,
+    re-encode, and truncate with a forced EOT.
+
+    ``word_tokenize``/``pos_tag`` default to nltk (absent in this image —
+    raises ImportError with guidance); tests inject stubs to pin the
+    selection logic.
+    """
+    if word_tokenize is None or pos_tag is None:
+        try:
+            import nltk
+        except ImportError as exn:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "syntax_mask_tokenize requires nltk, which is not available in "
+                "this environment; use random_mask_tokenize or simple_mask_tokenize "
+                "(or inject word_tokenize/pos_tag callables)"
+            ) from exn
+        nltk.download("punkt")  # pragma: no cover - env-dependent
+        nltk.download("averaged_perceptron_tagger")  # pragma: no cover
+        word_tokenize = nltk.tokenize.word_tokenize  # pragma: no cover
+        pos_tag = nltk.pos_tag  # pragma: no cover
     tk = tokenizer or _default_tokenizer()
     if isinstance(texts, str):
         texts = [texts]
 
-    def order(word: str) -> int:  # pragma: no cover - nltk-dependent
-        pos = nltk.pos_tag([word])[0][1]
+    def get_order(pos: str) -> int:
         if pos.startswith("NN"):
             return 1
         if pos.startswith("JJ"):
@@ -317,13 +330,18 @@ def syntax_mask_tokenize(
         return 4
 
     result = np.zeros((len(texts), context_length), np.int32)
-    for i, text in enumerate(texts):  # pragma: no cover - nltk-dependent
-        words = text.split()
-        ranks = np.argsort(np.argsort([order(w) for w in words], kind="stable"), kind="stable")
-        kept = [w for w, r in zip(words, ranks) if r < context_length - 2]
-        tokens = tk.encode(" ".join(kept))[: context_length - 2]
-        seq = [tk.sot_token_id] + list(tokens) + [tk.eot_token_id]
-        result[i, : len(seq)] = seq
+    for i, text in enumerate(texts):
+        words = list(word_tokenize(text))
+        order_list = [get_order(tag) for _, tag in pos_tag(words)]
+        sorted_ids = np.argsort(np.array(order_list))
+        sampled_ids = sorted(sorted_ids[: context_length - 2])
+        kept = [str(words[j]) for j in sampled_ids]
+        tokens = [tk.sot_token_id] + list(tk.encode(" ".join(kept))) + [tk.eot_token_id]
+        if len(tokens) > context_length:
+            # some words encode to multiple BPE tokens (reference :378-381)
+            tokens = tokens[:context_length]
+            tokens[-1] = tk.eot_token_id
+        result[i, : len(tokens)] = tokens
     return result
 
 

@@ -87,18 +87,24 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
             world_size=jax.process_count(),
             num_workers=args.workers,
         )
+        # per-PROCESS batch: this host's local devices only; shard_batch
+        # assembles the global array across hosts (the reader is already
+        # rank/world sharded above)
         data["train"] = WdsLoader(
-            reader, args.batch_size * args.accum_freq * jax.device_count(),
-            tokenizer=tokenizer, num_samples=args.train_num_samples or 0,
+            reader, args.batch_size * args.accum_freq * jax.local_device_count(),
+            tokenizer=tokenizer,
+            num_samples=(args.train_num_samples or 0) // jax.process_count(),
         )
     elif args.train_data and dataset_type in ("csv", "tsv"):
         ds = TsvDataset(args.train_data, img_transform=preprocess_train)
-        # per-step batch across all local devices (reference --batch-size is
-        # per device: effective = batch * accum * world)
+        # per-step, per-PROCESS batch over this host's local devices
+        # (reference --batch-size is per device: effective global batch =
+        # batch * accum * world); samples are rank-sharded like the
+        # reference's DistributedSampler
         data["train"] = DataLoader(
-            ds, args.batch_size * args.accum_freq * jax.device_count(),
+            ds, args.batch_size * args.accum_freq * jax.local_device_count(),
             shuffle=True, seed=args.seed, drop_last=True, num_threads=args.workers,
-            collate=collate,
+            collate=collate, rank=jax.process_index(), world_size=jax.process_count(),
         )
     elif dataset_type == "synthetic":
         ds = SyntheticDataset(
@@ -107,9 +113,9 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
             dataset_size=args.train_num_samples or 100,
         )
         data["train"] = DataLoader(
-            ds, args.batch_size * args.accum_freq * jax.device_count(),
+            ds, args.batch_size * args.accum_freq * jax.local_device_count(),
             shuffle=True, seed=args.seed, drop_last=True, num_threads=args.workers,
-            collate=collate,
+            collate=collate, rank=jax.process_index(), world_size=jax.process_count(),
         )
     if args.val_data:
         ds = TsvDataset(args.val_data, img_transform=preprocess_val)
