@@ -194,6 +194,70 @@ def batchnorm_apply(
     return x * g + b, new_state
 
 
+def conv1x1_batchnorm_apply(
+    conv_params,
+    bn_params,
+    bn_state,
+    z,
+    *,
+    train: bool = False,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    dtype=None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Fused 1x1-conv + BatchNorm with *input-derived* batch statistics.
+
+    A 1x1 conv is linear in its input, so the output batch statistics are
+    exactly expressible from the input's first/second moments:
+
+        mean(y)_c = m_z @ W[:, c]
+        E[y^2]_c  = W[:, c]^T (Z^T Z / n) W[:, c]
+
+    This removes the data dependency of the normalize step on the conv
+    *output* — XLA can then fuse normalize(+downstream elementwise) into the
+    conv epilogue instead of materializing y, reducing a full HBM round-trip
+    plus a stats pass over y to one small covariance matmul over z
+    (bandwidth-bound ResNet stages; the conv output tensor is the widest in
+    the block). Same math as batchnorm_apply, different summation order.
+    """
+    kernel = conv_params["kernel"]
+    assert kernel.shape[0] == kernel.shape[1] == 1, "1x1 conv only"
+    w = kernel[0, 0]  # (K, C)
+    if dtype is not None:
+        z = z.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        z, kernel.astype(z.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in conv_params:
+        y = y + conv_params["bias"].astype(y.dtype)
+
+    if train:
+        n = int(np.prod(z.shape[:-1]))
+        zf = z.reshape(n, z.shape[-1])
+        w32 = w.astype(jnp.float32)
+        m_z = jnp.mean(zf, axis=0, dtype=jnp.float32)  # (K,)
+        cov = jnp.einsum("nk,nl->kl", zf, zf, preferred_element_type=jnp.float32) / n
+        mean = m_z @ w32  # (C,)
+        mean_sq = jnp.einsum("kc,kl,lc->c", w32, cov, w32)
+        if "bias" in conv_params:
+            b32 = conv_params["bias"].astype(jnp.float32)
+            mean_sq = mean_sq + 2.0 * mean * b32 + b32 * b32
+            mean = mean + b32
+        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    g = (bn_params["scale"] * jax.lax.rsqrt(var + eps)).astype(y.dtype)
+    b = (bn_params["bias"] - bn_params["scale"] * mean * jax.lax.rsqrt(var + eps)).astype(y.dtype)
+    return y * g + b, new_state
+
+
 # ---------------------------------------------------------------------------
 # multi-head attention
 
@@ -249,10 +313,19 @@ def attention(q, k, v, *, num_heads: int, mask: Optional[jnp.ndarray] = None,
 
 def mha_apply(params, x, *, num_heads: int, mask: Optional[jnp.ndarray] = None, dtype=None,
               impl: str = "einsum", causal: bool = False):
-    """Self-attention with separate q/k/v projections + output projection."""
-    q = linear_apply(params["q"], x, dtype=dtype)
-    k = linear_apply(params["k"], x, dtype=dtype)
-    v = linear_apply(params["v"], x, dtype=dtype)
+    """Self-attention with separate q/k/v projections + output projection.
+
+    The three projections are fused into one (D, 3D) matmul — numerically
+    identical per element (each output column contracts the same K axis),
+    but one large MXU call instead of three in both forward and wgrad."""
+    d = params["q"]["kernel"].shape[1]
+    fused = {"kernel": jnp.concatenate(
+        [params["q"]["kernel"], params["k"]["kernel"], params["v"]["kernel"]], axis=1)}
+    if "bias" in params["q"]:
+        fused["bias"] = jnp.concatenate(
+            [params["q"]["bias"], params["k"]["bias"], params["v"]["bias"]])
+    qkv = linear_apply(fused, x, dtype=dtype)
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
     o = attention(q, k, v, num_heads=num_heads, mask=mask, impl=impl, causal=causal)
     return linear_apply(params["out"], o, dtype=dtype)
 

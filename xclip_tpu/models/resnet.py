@@ -131,15 +131,21 @@ def _bottleneck_apply(params, state, x, *, stride: int, train: bool, dtype):
     out = jax.nn.relu(out)
     if stride > 1:
         out = L.avg_pool(out, stride)
-    out = L.conv_apply(params["conv3"], out, dtype=dtype)
-    out, new_state["bn3"] = L.batchnorm_apply(params["bn3"], state["bn3"], out, train=train)
+    # conv3+bn3 fused with input-derived batch stats: removes the stats pass
+    # over the block's widest tensor and lets XLA epilogue-fuse the
+    # normalize+add+relu into the conv (see conv1x1_batchnorm_apply)
+    out, new_state["bn3"] = L.conv1x1_batchnorm_apply(
+        params["conv3"], params["bn3"], state["bn3"], out, train=train, dtype=dtype
+    )
 
     identity = x
     if "downsample" in params:
         identity = L.avg_pool(x, stride) if stride > 1 else x
-        identity = L.conv_apply(params["downsample"]["conv"], identity, dtype=dtype)
-        identity, new_state["downsample_bn"] = L.batchnorm_apply(
-            params["downsample"]["bn"], state["downsample_bn"], identity, train=train
+        # same input-derived-stats fusion as conv3 (downsample is 1x1 too);
+        # its input C is the block input width, so the covariance is cheap
+        identity, new_state["downsample_bn"] = L.conv1x1_batchnorm_apply(
+            params["downsample"]["conv"], params["downsample"]["bn"],
+            state["downsample_bn"], identity, train=train, dtype=dtype
         )
     return jax.nn.relu(out + identity), new_state
 
