@@ -109,3 +109,120 @@ def test_conv1x1_batchnorm_with_bias():
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_fused["var"]), np.asarray(s_ref["var"]),
                                rtol=1e-3, atol=1e-4)
+
+
+class TestFusedConv:
+    def _mk(self, m=128, k=32, c=64, seed=0):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        z = jnp.asarray(rng.randn(m, k).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, c).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+        ident = jnp.asarray(rng.randn(m, c).astype(np.float32))
+        return z, w, g, b, ident
+
+    def test_matmul_affine_act_values(self):
+        import numpy as np
+        from xclip_tpu.ops.fused_conv import matmul_affine_act
+
+        z, w, g, b, ident = self._mk()
+        ref = jnp.maximum((z @ w) * g + b + ident, 0.0)
+        out = matmul_affine_act(z, w, g, b, ident, relu=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        # no identity, no relu
+        ref2 = (z @ w) * g + b
+        out2 = matmul_affine_act(z, w, g, b, relu=False)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5, atol=1e-5)
+
+    def test_matmul_affine_act_grads(self):
+        import numpy as np
+        from xclip_tpu.ops.fused_conv import matmul_affine_act
+
+        z, w, g, b, ident = self._mk()
+
+        def f_fused(z, w, g, b, ident):
+            return jnp.sum(matmul_affine_act(z, w, g, b, ident, relu=True) ** 2)
+
+        def f_ref(z, w, g, b, ident):
+            return jnp.sum(jnp.maximum((z @ w) * g + b + ident, 0.0) ** 2)
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(z, w, g, b, ident)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(z, w, g, b, ident)
+        for a, r in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4)
+
+    def test_matmul_stats_values_and_grads(self):
+        import numpy as np
+        from xclip_tpu.ops.fused_conv import matmul_stats
+
+        z, w, _, _, _ = self._mk(m=256, k=16, c=32, seed=1)
+        y, s1, s2 = matmul_stats(z, w)
+        ref_y = z @ w
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(ref_y.sum(0)), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray((ref_y**2).sum(0)), rtol=1e-4, atol=1e-3)
+
+        def f_fused(z, w):
+            y, s1, s2 = matmul_stats(z, w)
+            return jnp.sum(y**2) + jnp.sum(s1 * 0.5) + jnp.sum(s2 * 0.25)
+
+        def f_ref(z, w):
+            y = z @ w
+            return jnp.sum(y**2) + jnp.sum(y.sum(0) * 0.5) + jnp.sum((y**2).sum(0) * 0.25)
+
+        g1 = jax.grad(f_fused, argnums=(0, 1))(z, w)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(z, w)
+        for a, r in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4)
+
+    def test_bf16_io(self):
+        import numpy as np
+        from xclip_tpu.ops.fused_conv import matmul_affine_act, matmul_stats
+
+        z, w, g, b, ident = self._mk()
+        zb, wb, ib = z.astype(jnp.bfloat16), w.astype(jnp.bfloat16), ident.astype(jnp.bfloat16)
+        out = matmul_affine_act(zb, wb, g, b, ib, relu=True)
+        assert out.dtype == jnp.bfloat16
+        ref = jnp.maximum((zb.astype(jnp.float32) @ wb.astype(jnp.float32)) * g + b
+                          + ib.astype(jnp.float32), 0.0)
+        np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2)
+        y, s1, s2 = matmul_stats(zb, wb)
+        assert y.dtype == jnp.bfloat16 and s1.dtype == jnp.float32
+
+
+def test_pallas_bottleneck_matches_xla_path(monkeypatch):
+    """_bottleneck_apply_pallas (interpret mode here) must reproduce the XLA
+    bottleneck path: outputs, new BN state, and input/param grads."""
+    import numpy as np
+
+    import xclip_tpu.models.resnet as R
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    params, state = R._bottleneck_init(jax.random.PRNGKey(0), 32, 8, stride=2)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # non-trivial bn3 scale (zero-init would null the conv3 branch)
+    params["bn3"]["scale"] = jnp.ones_like(params["bn3"]["scale"]) * 0.7
+
+    for train in (True, False):
+        monkeypatch.setenv("XCLIP_PALLAS_BLOCK", "0")
+        ref, s_ref = R._bottleneck_apply(params, state, x, stride=2, train=train, dtype=None)
+        monkeypatch.setenv("XCLIP_PALLAS_BLOCK", "1")
+        got, s_got = R._bottleneck_apply(params, state, x, stride=2, train=train, dtype=None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+        for k in s_ref:
+            for kk in s_ref[k]:
+                np.testing.assert_allclose(
+                    np.asarray(s_got[k][kk]), np.asarray(s_ref[k][kk]),
+                    rtol=1e-4, atol=1e-5, err_msg=f"{k}.{kk} train={train}")
+
+    def loss(p, x, flag):
+        monkeypatch.setenv("XCLIP_PALLAS_BLOCK", flag)
+        out, _ = R._bottleneck_apply(p, state, x, stride=2, train=True, dtype=None)
+        return jnp.sum(out**2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, x, "0")
+    g_got = jax.grad(loss, argnums=(0, 1))(params, x, "1")
+    for a, r in zip(jax.tree_util.tree_leaves(g_got), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3, atol=5e-3)

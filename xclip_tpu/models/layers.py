@@ -194,6 +194,35 @@ def batchnorm_apply(
     return x * g + b, new_state
 
 
+def bn_factors_from_stats(bn_params, bn_state, mean, var, n: int, *,
+                          train: bool, momentum: float = 0.1, eps: float = 1e-5):
+    """(g, b, new_state) for a BatchNorm given already-computed batch moments
+    (train) or running stats (eval). Shared by the fused conv-bn paths."""
+    if train:
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    g = bn_params["scale"] * jax.lax.rsqrt(var + eps)
+    b = bn_params["bias"] - bn_params["scale"] * mean * jax.lax.rsqrt(var + eps)
+    return g, b, new_state
+
+
+def conv1x1_moments_from_input(z2d, w32, n: int):
+    """Batch mean/var of ``y = z @ w`` from z's first/second moments (1x1
+    conv linearity; see conv1x1_batchnorm_apply). z2d: (N, K); w32: (K, C)."""
+    m_z = jnp.mean(z2d, axis=0, dtype=jnp.float32)
+    cov = jnp.einsum("nk,nl->kl", z2d, z2d, preferred_element_type=jnp.float32) / n
+    mean = m_z @ w32
+    mean_sq = jnp.einsum("kc,kl,lc->c", w32, cov, w32)
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    return mean, var
+
+
 def conv1x1_batchnorm_apply(
     conv_params,
     bn_params,

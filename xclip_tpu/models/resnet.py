@@ -32,6 +32,12 @@ from xclip_tpu.models import layers as L
 
 EXPANSION = 4
 
+# A/B gate for the input-derived-BN-stats fusion on 1x1 convs (bench
+# experiments; see layers.conv1x1_batchnorm_apply). Default on.
+import os as _os
+
+FUSED_CONV_BN = _os.environ.get("XCLIP_FUSED_CONV_BN", "1") != "0"
+
 
 @dataclasses.dataclass(frozen=True)
 class ResNetCfg:
@@ -121,7 +127,91 @@ def _stem_act(params, state, x, idx: int, *, stride: int, train: bool, dtype):
     return jax.nn.relu(y), {"stem": {f"bn{idx}": bn_state}}
 
 
+def _use_pallas_block() -> bool:
+    # measured on the v5e: the current Pallas 1x1 kernels stream at ~126GB/s
+    # vs ~222GB/s for XLA's conv+elementwise sequence, so the XLA path (with
+    # input-derived BN stats) is the default; flip on for kernel experiments
+    return _os.environ.get("XCLIP_PALLAS_BLOCK", "0") == "1"
+
+
+def _bottleneck_apply_pallas(params, state, x, *, stride: int, train: bool, dtype):
+    """Bottleneck with the 1x1 convs as fused Pallas matmul kernels:
+
+    - conv1 emits its own BN batch stats in-kernel (no stats pass over y1);
+    - conv3 and the downsample conv get their BN stats from input moments
+      (1x1 linearity) and apply normalize(+residual)(+relu) in the matmul
+      epilogue — the block's widest tensors are written exactly once.
+
+    Same math as _bottleneck_apply (reference modified_resnet.py:20-50);
+    summation order differs only inside fp32 accumulations.
+    """
+    from xclip_tpu.ops.fused_conv import matmul_affine_act, matmul_stats
+
+    new_state: Dict = {}
+    if dtype is not None:
+        x = x.astype(dtype)
+    b, h, w_, cin = x.shape
+    planes = params["conv1"]["kernel"].shape[3]
+    cout = params["conv3"]["kernel"].shape[3]
+
+    # conv1 (1x1) with in-kernel output stats
+    w1 = params["conv1"]["kernel"][0, 0].astype(x.dtype)
+    zf = x.reshape(b * h * w_, cin)
+    n1 = zf.shape[0]
+    if train:
+        y1, s1, s2 = matmul_stats(zf, w1)
+        mean1 = s1 / n1
+        var1 = jnp.maximum(s2 / n1 - jax.lax.square(mean1), 0.0)
+    else:
+        y1, mean1, var1 = None, None, None
+    g1, b1, new_state["bn1"] = L.bn_factors_from_stats(
+        params["bn1"], state["bn1"], mean1, var1, n1, train=train)
+    if train:
+        out = (y1 * g1.astype(y1.dtype) + b1.astype(y1.dtype))
+        out = jax.nn.relu(out).reshape(b, h, w_, planes)
+    else:
+        out = matmul_affine_act(zf, w1, g1, b1, relu=True).reshape(b, h, w_, planes)
+
+    # conv2 (3x3) + bn2: XLA conv (spatial taps), standard stats pass
+    out = L.conv_apply(params["conv2"], out, padding=1, dtype=dtype)
+    out, new_state["bn2"] = L.batchnorm_apply(params["bn2"], state["bn2"], out, train=train)
+    out = jax.nn.relu(out)
+    if stride > 1:
+        out = L.avg_pool(out, stride)
+    oh, ow = out.shape[1], out.shape[2]
+    z2 = out.reshape(b * oh * ow, planes)
+    n3 = z2.shape[0]
+
+    # identity branch first (consumed by conv3's epilogue)
+    if "downsample" in params:
+        idin = L.avg_pool(x, stride) if stride > 1 else x
+        idf = idin.reshape(n3, cin)
+        wd32 = params["downsample"]["conv"]["kernel"][0, 0].astype(jnp.float32)
+        if train:
+            mean_d, var_d = L.conv1x1_moments_from_input(idf, wd32, n3)
+        else:
+            mean_d = var_d = None
+        gd, bd, new_state["downsample_bn"] = L.bn_factors_from_stats(
+            params["downsample"]["bn"], state["downsample_bn"], mean_d, var_d, n3, train=train)
+        identity = matmul_affine_act(idf, wd32.astype(x.dtype), gd, bd, relu=False)
+    else:
+        identity = x.reshape(n3, cout)
+
+    # conv3 (1x1) with input-derived BN stats: normalize+add+relu in-epilogue
+    w3_32 = params["conv3"]["kernel"][0, 0].astype(jnp.float32)
+    if train:
+        mean3, var3 = L.conv1x1_moments_from_input(z2, w3_32, n3)
+    else:
+        mean3 = var3 = None
+    g3, b3, new_state["bn3"] = L.bn_factors_from_stats(
+        params["bn3"], state["bn3"], mean3, var3, n3, train=train)
+    out = matmul_affine_act(z2, w3_32.astype(z2.dtype), g3, b3, identity, relu=True)
+    return out.reshape(b, oh, ow, cout), new_state
+
+
 def _bottleneck_apply(params, state, x, *, stride: int, train: bool, dtype):
+    if _use_pallas_block():
+        return _bottleneck_apply_pallas(params, state, x, stride=stride, train=train, dtype=dtype)
     new_state: Dict = {}
     out = L.conv_apply(params["conv1"], x, dtype=dtype)
     out, new_state["bn1"] = L.batchnorm_apply(params["bn1"], state["bn1"], out, train=train)
@@ -132,21 +222,30 @@ def _bottleneck_apply(params, state, x, *, stride: int, train: bool, dtype):
     if stride > 1:
         out = L.avg_pool(out, stride)
     # conv3+bn3 fused with input-derived batch stats: removes the stats pass
-    # over the block's widest tensor and lets XLA epilogue-fuse the
-    # normalize+add+relu into the conv (see conv1x1_batchnorm_apply)
-    out, new_state["bn3"] = L.conv1x1_batchnorm_apply(
-        params["conv3"], params["bn3"], state["bn3"], out, train=train, dtype=dtype
-    )
+    # over the block's widest tensor (see conv1x1_batchnorm_apply)
+    if FUSED_CONV_BN:
+        out, new_state["bn3"] = L.conv1x1_batchnorm_apply(
+            params["conv3"], params["bn3"], state["bn3"], out, train=train, dtype=dtype
+        )
+    else:
+        out = L.conv_apply(params["conv3"], out, dtype=dtype)
+        out, new_state["bn3"] = L.batchnorm_apply(params["bn3"], state["bn3"], out, train=train)
 
     identity = x
     if "downsample" in params:
         identity = L.avg_pool(x, stride) if stride > 1 else x
         # same input-derived-stats fusion as conv3 (downsample is 1x1 too);
         # its input C is the block input width, so the covariance is cheap
-        identity, new_state["downsample_bn"] = L.conv1x1_batchnorm_apply(
-            params["downsample"]["conv"], params["downsample"]["bn"],
-            state["downsample_bn"], identity, train=train, dtype=dtype
-        )
+        if FUSED_CONV_BN:
+            identity, new_state["downsample_bn"] = L.conv1x1_batchnorm_apply(
+                params["downsample"]["conv"], params["downsample"]["bn"],
+                state["downsample_bn"], identity, train=train, dtype=dtype
+            )
+        else:
+            identity = L.conv_apply(params["downsample"]["conv"], identity, dtype=dtype)
+            identity, new_state["downsample_bn"] = L.batchnorm_apply(
+                params["downsample"]["bn"], state["downsample_bn"], identity, train=train
+            )
     return jax.nn.relu(out + identity), new_state
 
 
