@@ -50,6 +50,14 @@ class CoCaCfg:
     pad_id: int = 0
     init_logit_scale: float = math.log(1 / 0.07)
 
+    @property
+    def image_size(self) -> int:
+        return self.vision.image_size
+
+    @property
+    def context_length(self) -> int:
+        return self.text.context_length
+
 
 def coca_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CoCaCfg:
     act = "quick_gelu" if quick_gelu else "gelu"
@@ -260,6 +268,18 @@ class CoCaModel:
         if labels is not None:
             out["labels"] = labels
         return out
+
+    # CLIPModel-compatible encoder facades (evaluators and the bench drive
+    # models through this triple/tuple interface)
+    def encode_image(self, params, images, *, state=None, normalize: bool = True,
+                     dtype=None, train: bool = False, rng=None, capture=None, remat=False):
+        del state, train, rng, capture, remat  # stateless towers
+        latent, _ = self.encode_image_with_tokens(params, images, dtype=dtype)
+        return latent, {}, {}
+
+    def encode_text(self, params, text_ids, *, normalize: bool = True, dtype=None):
+        latent, _ = self.encode_text_with_tokens(params, text_ids, dtype=dtype)
+        return latent, {}
 
     # -- generation ---------------------------------------------------------------
     def generate(

@@ -67,7 +67,8 @@ def is_coca_model(model_name: str) -> bool:
     return cfg is not None and "multimodal_cfg" in cfg
 
 
-def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: int = 0):
+def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: int = 0,
+                      force_quick_gelu: bool = False):
     """CoCa factory -> (CoCaModel, params). Reference checkpoints load via
     the CoCa state-dict bridge."""
     import jax as _jax
@@ -77,7 +78,7 @@ def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: i
     cfg = get_model_config(model_name)
     if cfg is None:
         raise RuntimeError(f"Model config for {model_name} not found")
-    quick_gelu = bool(cfg.pop("quick_gelu", False))
+    quick_gelu = bool(cfg.pop("quick_gelu", False)) or force_quick_gelu
     model = CoCaModel(coca_cfg_from_dict(cfg, quick_gelu=quick_gelu))
     params = model.init(_jax.random.PRNGKey(seed))
     if pretrained:
@@ -102,6 +103,17 @@ def create_model(
     :func:`create_coca_model` (which returns (model, params)). With
     ``force_image_size``, pretrained ViT positional embeddings are resized
     to the new grid (the reference's resize_pos_embed, model.py:523-553)."""
+    if is_coca_model(model_name):
+        if force_image_size or force_patch_dropout:
+            raise ValueError("--force-image-size/--force-patch-dropout are not "
+                             "supported for CoCa configs")
+        model, params = create_coca_model(
+            model_name, pretrained=pretrained, seed=seed, force_quick_gelu=force_quick_gelu
+        )
+        policy = get_policy(precision)
+        if policy.param_dtype != params["logit_scale"].dtype:
+            params = jax.tree_util.tree_map(lambda p: p.astype(policy.param_dtype), params)
+        return model, params, {}
     model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu, force_image_size, force_patch_dropout))
     params, state = model.init(jax.random.PRNGKey(seed))
     if pretrained:

@@ -133,7 +133,22 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
 
 
 def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag: str = "") -> None:
+    from xclip_tpu.models.coca import CoCaModel
+
     name = f"epoch_{epoch}{step_tag}"
+    if isinstance(model, CoCaModel):
+        from xclip_tpu.core.checkpoint import save_native
+
+        save_native(
+            os.path.join(args.checkpoint_path, f"{name}.npz"), params, state,
+            extras={"epoch": epoch, "name": args.name}, opt_state=opt_state,
+        )
+        if args.save_most_recent:
+            tmp = os.path.join(args.checkpoint_path, "tmp.npz")
+            save_native(tmp, params, state, extras={"epoch": epoch, "name": args.name},
+                        opt_state=opt_state)
+            os.replace(tmp, os.path.join(args.checkpoint_path, "epoch_latest.npz"))
+        return
     if args.torch_compat_ckpt:
         from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
@@ -322,6 +337,9 @@ def main(argv=None) -> int:
         )
         remote_sync_process.start()
 
+    from xclip_tpu.models.factory import is_coca_model
+
+    is_coca = is_coca_model(args.model)
     model, params, state, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model, pretrained=args.pretrained or None, precision="fp32",
         force_quick_gelu=args.force_quick_gelu,
@@ -329,6 +347,10 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
+    if is_coca and args.torch_compat_ckpt:
+        # CoCa params export to the open_clip state-dict layout is not
+        # implemented yet; checkpoints fall back to the native .npz format
+        logging.warning("CoCa checkpoints are saved in the native .npz format")
     if (getattr(args, "aug_cfg", None) or args.image_mean or args.image_std
             or args.image_resize_mode or args.image_interpolation):
         from xclip_tpu.data.transforms import (
@@ -349,7 +371,9 @@ def main(argv=None) -> int:
             model.cfg.image_size, is_train=False, mean=mean, std=std,
             resize_mode=args.image_resize_mode or "shortest", interpolation=interp,
         )
-    tokenizer = get_tokenizer(args.model)
+    # tokenize to the model's context length (reference get_tokenizer reads
+    # it from the model config; matters for CoCa's 76-token text towers)
+    tokenizer = get_tokenizer(args.model, context_length=model.cfg.context_length)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"
 
@@ -398,6 +422,9 @@ def main(argv=None) -> int:
                 accum_freq=args.accum_freq,
                 siglip=args.siglip,
                 seed=args.seed,
+                coca=is_coca,
+                coca_caption_loss_weight=args.coca_caption_loss_weight,
+                coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
             ),
         )
         if distill:

@@ -97,6 +97,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--local-loss", action="store_true")
     parser.add_argument("--gather-with-grad", action="store_true")
     parser.add_argument("--siglip", action="store_true")
+    parser.add_argument("--coca-caption-loss-weight", type=float, default=2.0,
+                        help="Weight assigned to caption loss in CoCa.")
+    parser.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0,
+                        help="Weight assigned to contrastive loss when training CoCa.")
     parser.add_argument("--distill-model", type=str, default=None,
                         help="teacher model config name for distillation")
     parser.add_argument("--distill-pretrained", type=str, default=None,

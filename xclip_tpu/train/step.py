@@ -43,6 +43,10 @@ class TrainStepCfg:
     grad_clip_norm: float = 0.0
     siglip: bool = False  # sigmoid pairwise loss with ppermute ring
     seed: int = 0  # base seed for in-step randomness (patch dropout)
+    # CoCa training (reference CoCaLoss, open_clip/loss.py:134-177)
+    coca: bool = False
+    coca_caption_loss_weight: float = 2.0
+    coca_contrastive_loss_weight: float = 1.0
 
 
 def _norm_tree(tree):
@@ -70,6 +74,11 @@ def make_train_step(
     policy = get_policy(cfg.precision)
     compute_dtype = policy.compute_dtype
     accum = cfg.accum_freq
+    if cfg.coca and accum != 1:
+        raise NotImplementedError(
+            "--accum-freq > 1 with CoCa is not supported yet (the reference "
+            "caches full model_out dicts across microbatches, train.py:115-164)"
+        )
     # patch dropout needs per-step randomness threaded into the compiled
     # program; everything else is deterministic, so the rng plumbing (an
     # extra "step" scalar in the batch) only exists when the tower uses it
@@ -112,10 +121,24 @@ def make_train_step(
             return r
 
         if accum == 1:
+            if cfg.coca:
+                from xclip_tpu.models.coca import coca_loss
 
-            def loss_fn(p):
-                img_f, txt_f, new_state = forward(p, state, images, texts, rng=mk_rng())
-                return _loss(p, img_f, txt_f), new_state
+                def loss_fn(p):
+                    out = model.forward(p, images, texts, dtype=compute_dtype)
+                    loss, _parts = coca_loss(
+                        out,
+                        caption_loss_weight=cfg.coca_caption_loss_weight,
+                        clip_loss_weight=cfg.coca_contrastive_loss_weight,
+                        pad_id=model.cfg.pad_id,
+                        axis_name=DATA_AXIS,
+                    )
+                    return loss, state  # CoCa towers carry no BN state
+            else:
+
+                def loss_fn(p):
+                    img_f, txt_f, new_state = forward(p, state, images, texts, rng=mk_rng())
+                    return _loss(p, img_f, txt_f), new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         else:
