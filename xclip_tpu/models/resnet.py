@@ -32,11 +32,14 @@ from xclip_tpu.models import layers as L
 
 EXPANSION = 4
 
-# A/B gate for the input-derived-BN-stats fusion on 1x1 convs (bench
-# experiments; see layers.conv1x1_batchnorm_apply). Default on.
+# A/B gate for the input-derived-BN-stats fusion on 1x1 convs (see
+# layers.conv1x1_batchnorm_apply). Measured on the v5e: 1332-1353 img/s
+# fused vs 1458 unfused — the covariance path's BACKWARD adds full-size
+# gradient contributions that outweigh the saved forward stats pass, so
+# the default is off; kept as a bench experiment.
 import os as _os
 
-FUSED_CONV_BN = _os.environ.get("XCLIP_FUSED_CONV_BN", "1") != "0"
+FUSED_CONV_BN = _os.environ.get("XCLIP_FUSED_CONV_BN", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
