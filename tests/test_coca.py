@@ -246,8 +246,14 @@ def test_coca_training_cli(tmp_path):
         "--coca-caption-loss-weight", "1.5", "--coca-contrastive-loss-weight", "0.5",
     ])
     assert rc == 0
-    ckpt = logs / "coca-e2e" / "checkpoints" / "epoch_1.npz"
+    ckpt = logs / "coca-e2e" / "checkpoints" / "epoch_1.pt"
     assert ckpt.exists()
+    # the produced checkpoint loads back through the CoCa factory
+    from xclip_tpu.models.factory import create_coca_model
+
+    F._MODEL_CONFIGS["TinyCoCa"] = SMALL_COCA
+    model2, params2 = create_coca_model("TinyCoCa", pretrained=str(ckpt))
+    assert "text_decoder" in params2
 
 
 def test_coca_step_grads():
@@ -281,3 +287,38 @@ def test_coca_step_grads():
 
     with pytest.raises(NotImplementedError):
         make_train_step(model, tx, mesh, TrainStepCfg(coca=True, accum_freq=2))
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_coca_export_bridge_roundtrip():
+    """coca_params_to_state_dict is the exact inverse of the load bridge AND
+    strict-loads into the reference torch CoCa."""
+    from xclip_tpu.models.coca import coca_params_to_state_dict
+
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA))
+    params = model.init(jax.random.PRNGKey(3))
+    sd = coca_params_to_state_dict(model, params)
+
+    # inverse consistency: sd -> params is identical
+    params2 = coca_state_dict_to_params(sd, model)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # torch strict-load into the reference CoCa
+    ref = open_clip.CoCa(
+        embed_dim=SMALL_COCA["embed_dim"],
+        multimodal_cfg=SMALL_COCA["multimodal_cfg"],
+        text_cfg=SMALL_COCA["text_cfg"],
+        vision_cfg=SMALL_COCA["vision_cfg"],
+    )
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=False
+    )
+    missing = [k for k in missing if "attn_mask" not in k]
+    assert not missing, missing
+    assert not unexpected, unexpected

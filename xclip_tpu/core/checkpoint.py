@@ -453,6 +453,10 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
 def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarray]:
     """Inverse mapping: export params/state to an open_clip-format state dict
     (numpy values) so reference tooling can consume checkpoints trained here."""
+    from xclip_tpu.models.coca import CoCaModel, coca_params_to_state_dict
+
+    if isinstance(model, CoCaModel):
+        return coca_params_to_state_dict(model, params)
     cfg = model.cfg
     p = flatten_pytree(jax.device_get(params))
     s = flatten_pytree(jax.device_get(state))

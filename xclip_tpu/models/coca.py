@@ -495,6 +495,87 @@ def coca_loss(
 # torch checkpoint bridge (open_clip CoCa state dicts)
 
 
+def coca_params_to_state_dict(model: CoCaModel, params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse bridge: CoCa params -> open_clip CoCa state dict (numpy
+    values), so reference tooling can consume CoCa checkpoints trained here.
+    Mirrors :func:`coca_state_dict_to_params` key-for-key."""
+    from xclip_tpu.core.checkpoint import SEP, _lin, flatten_pytree
+
+    p = flatten_pytree(jax.device_get(params))
+    cfg = model.cfg
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(dst, src):
+        sd[f"{dst}.weight"] = _lin(p[f"{src}{SEP}kernel"])
+        if f"{src}{SEP}bias" in p:
+            sd[f"{dst}.bias"] = p[f"{src}{SEP}bias"]
+
+    def put_ln(dst, src):
+        sd[f"{dst}.weight"] = p[f"{src}{SEP}scale"]
+        sd[f"{dst}.bias"] = p[f"{src}{SEP}bias"]
+
+    def put_block(dst, src):
+        put_ln(f"{dst}.ln_1", f"{src}{SEP}ln_1")
+        sd[f"{dst}.attn.in_proj_weight"] = np.concatenate(
+            [_lin(p[f"{src}{SEP}attn{SEP}{n}{SEP}kernel"]) for n in ("q", "k", "v")], axis=0
+        )
+        sd[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+            [p[f"{src}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")]
+        )
+        put_lin(f"{dst}.attn.out_proj", f"{src}{SEP}attn{SEP}out")
+        put_ln(f"{dst}.ln_2", f"{src}{SEP}ln_2")
+        put_lin(f"{dst}.mlp.c_fc", f"{src}{SEP}mlp{SEP}c_fc")
+        put_lin(f"{dst}.mlp.c_proj", f"{src}{SEP}mlp{SEP}c_proj")
+
+    # visual ViT core
+    sd["visual.conv1.weight"] = np.transpose(p[f"visual{SEP}conv1{SEP}kernel"], (3, 2, 0, 1))
+    sd["visual.class_embedding"] = p[f"visual{SEP}class_embedding"]
+    sd["visual.positional_embedding"] = p[f"visual{SEP}positional_embedding"]
+    put_ln("visual.ln_pre", f"visual{SEP}ln_pre")
+    for i in range(cfg.vision.layers):
+        put_block(f"visual.transformer.resblocks.{i}", f"visual{SEP}blocks{SEP}{i}")
+    put_ln("visual.ln_post", f"visual{SEP}ln_post")
+    sd["visual.proj"] = p[f"visual{SEP}proj"]
+    # attentional pooler (q and kv dims match in CoCa towers -> packed MHA)
+    ap = f"visual{SEP}attn_pool"
+    sd["visual.attn_pool.query"] = p[f"{ap}{SEP}query"]
+    qw = _lin(p[f"{ap}{SEP}attn{SEP}q{SEP}kernel"])
+    kw = _lin(p[f"{ap}{SEP}attn{SEP}k{SEP}kernel"])
+    vw = _lin(p[f"{ap}{SEP}attn{SEP}v{SEP}kernel"])
+    if qw.shape == kw.shape == vw.shape:
+        sd["visual.attn_pool.attn.in_proj_weight"] = np.concatenate([qw, kw, vw])
+    else:  # torch MHA keeps separate weights when kdim/vdim differ
+        sd["visual.attn_pool.attn.q_proj_weight"] = qw
+        sd["visual.attn_pool.attn.k_proj_weight"] = kw
+        sd["visual.attn_pool.attn.v_proj_weight"] = vw
+    sd["visual.attn_pool.attn.in_proj_bias"] = np.concatenate(
+        [p[f"{ap}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")]
+    )
+    put_lin("visual.attn_pool.attn.out_proj", f"{ap}{SEP}attn{SEP}out")
+    put_ln("visual.attn_pool.ln_q", f"{ap}{SEP}ln_q")
+    put_ln("visual.attn_pool.ln_k", f"{ap}{SEP}ln_k")
+
+    # text tower (custom-text layout)
+    sd["text.token_embedding.weight"] = p[f"text{SEP}token_embedding"]
+    sd["text.positional_embedding"] = p[f"text{SEP}positional_embedding"]
+    sd["text.cls_emb"] = p[f"text{SEP}cls_emb"]
+    sd["text.text_projection"] = p[f"text{SEP}text_projection"]
+    put_ln("text.ln_final", f"text{SEP}ln_final")
+    for i in range(cfg.text.layers):
+        put_block(f"text.transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}")
+
+    # multimodal decoder
+    for i in range(cfg.multimodal.layers):
+        put_block(f"text_decoder.resblocks.{i}", f"text_decoder{SEP}blocks{SEP}{i}")
+        put_block(f"text_decoder.cross_attn.{i}", f"text_decoder{SEP}cross_blocks{SEP}{i}")
+        put_ln(f"text_decoder.cross_attn.{i}.ln_1_kv",
+               f"text_decoder{SEP}cross_blocks{SEP}{i}{SEP}ln_1_kv")
+    put_ln("text_decoder.ln_final", f"text_decoder{SEP}ln_final")
+    sd["text_decoder.text_projection"] = p[f"text_decoder{SEP}text_projection"]
+    sd["logit_scale"] = np.asarray(p["logit_scale"], np.float32).reshape(())
+    return sd
+
+
 def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Dict:
     from xclip_tpu.core.checkpoint import (
         SEP,

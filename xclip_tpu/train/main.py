@@ -133,22 +133,7 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
 
 
 def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag: str = "") -> None:
-    from xclip_tpu.models.coca import CoCaModel
-
     name = f"epoch_{epoch}{step_tag}"
-    if isinstance(model, CoCaModel):
-        from xclip_tpu.core.checkpoint import save_native
-
-        save_native(
-            os.path.join(args.checkpoint_path, f"{name}.npz"), params, state,
-            extras={"epoch": epoch, "name": args.name}, opt_state=opt_state,
-        )
-        if args.save_most_recent:
-            tmp = os.path.join(args.checkpoint_path, "tmp.npz")
-            save_native(tmp, params, state, extras={"epoch": epoch, "name": args.name},
-                        opt_state=opt_state)
-            os.replace(tmp, os.path.join(args.checkpoint_path, "epoch_latest.npz"))
-        return
     if args.torch_compat_ckpt:
         from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
@@ -347,10 +332,6 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
-    if is_coca and args.torch_compat_ckpt:
-        # CoCa params export to the open_clip state-dict layout is not
-        # implemented yet; checkpoints fall back to the native .npz format
-        logging.warning("CoCa checkpoints are saved in the native .npz format")
     if (getattr(args, "aug_cfg", None) or args.image_mean or args.image_std
             or args.image_resize_mode or args.image_interpolation):
         from xclip_tpu.data.transforms import (
