@@ -133,17 +133,59 @@ void crop_resize_normalize(const uint8_t* src, int src_w, int src_h,
   }
 }
 
+// Same bilinear resample, but emits rounded uint8 (no normalize): the
+// post-resize quantization matches the reference PIL pipeline, whose
+// resize returns uint8 before ToTensor()/Normalize. Used for on-device
+// normalization (4x smaller host->device transfers).
+void crop_resize_u8(const uint8_t* src, int src_w, int src_h,
+                    double x0, double y0, double cw, double ch,
+                    int out_w, int out_h, uint8_t* dst) {
+  const double sx = cw / out_w;
+  const double sy = ch / out_h;
+  for (int oy = 0; oy < out_h; ++oy) {
+    double fy = y0 + (oy + 0.5) * sy - 0.5;
+    fy = std::min(std::max(fy, 0.0), static_cast<double>(src_h - 1));
+    int y1 = static_cast<int>(fy);
+    int y2 = std::min(y1 + 1, src_h - 1);
+    float wy = static_cast<float>(fy - y1);
+    for (int ox = 0; ox < out_w; ++ox) {
+      double fx = x0 + (ox + 0.5) * sx - 0.5;
+      fx = std::min(std::max(fx, 0.0), static_cast<double>(src_w - 1));
+      int x1 = static_cast<int>(fx);
+      int x2 = std::min(x1 + 1, src_w - 1);
+      float wx = static_cast<float>(fx - x1);
+      const uint8_t* p11 = src + (static_cast<size_t>(y1) * src_w + x1) * 3;
+      const uint8_t* p12 = src + (static_cast<size_t>(y1) * src_w + x2) * 3;
+      const uint8_t* p21 = src + (static_cast<size_t>(y2) * src_w + x1) * 3;
+      const uint8_t* p22 = src + (static_cast<size_t>(y2) * src_w + x2) * 3;
+      uint8_t* out_px = dst + (static_cast<size_t>(oy) * out_w + ox) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float top = p11[c] + wx * (p12[c] - p11[c]);
+        float bot = p21[c] + wx * (p22[c] - p21[c]);
+        float v = top + wy * (bot - top);
+        int q = static_cast<int>(v + 0.5f);
+        out_px[c] = static_cast<uint8_t>(std::min(std::max(q, 0), 255));
+      }
+    }
+  }
+}
+
 // decode_crop_resize(data: bytes, x0, y0, cw, ch, out_w, out_h,
 //                    mean3, std3) -> (bytes_f32_hwc, src_w, src_h)
 // Negative crop box => full image. Crop coords are in ORIGINAL image
 // coordinates; DCT-domain prescale is applied whenever the crop is much
 // larger than the output, and the box is rescaled to the decoded frame.
-PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
+PyObject* decode_crop_resize_impl(PyObject* args, bool u8_out) {
   Py_buffer buf;
   double x0, y0, cw, ch;
   int out_w, out_h;
-  float mean[3], stdv[3];
-  if (!PyArg_ParseTuple(args, "y*ddddii(fff)(fff)", &buf, &x0, &y0, &cw, &ch,
+  float mean[3] = {0.f, 0.f, 0.f}, stdv[3] = {1.f, 1.f, 1.f};
+  if (u8_out) {
+    if (!PyArg_ParseTuple(args, "y*ddddii", &buf, &x0, &y0, &cw, &ch,
+                          &out_w, &out_h)) {
+      return nullptr;
+    }
+  } else if (!PyArg_ParseTuple(args, "y*ddddii(fff)(fff)", &buf, &x0, &y0, &cw, &ch,
                         &out_w, &out_h, &mean[0], &mean[1], &mean[2],
                         &stdv[0], &stdv[1], &stdv[2])) {
     return nullptr;
@@ -214,15 +256,28 @@ PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
   }
   float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
 
-  PyObject* out_bytes =
-      PyBytes_FromStringAndSize(nullptr, static_cast<Py_ssize_t>(out_w) * out_h * 3 * 4);
+  PyObject* out_bytes = PyBytes_FromStringAndSize(
+      nullptr, static_cast<Py_ssize_t>(out_w) * out_h * 3 * (u8_out ? 1 : 4));
   if (!out_bytes) return nullptr;
-  float* dst = reinterpret_cast<float*>(PyBytes_AS_STRING(out_bytes));
   Py_BEGIN_ALLOW_THREADS;
-  crop_resize_normalize(rgb.data(), src_w, src_h, x0, y0, cw, ch, out_w, out_h,
-                        mean, inv_std, dst);
+  if (u8_out) {
+    crop_resize_u8(rgb.data(), src_w, src_h, x0, y0, cw, ch, out_w, out_h,
+                   reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(out_bytes)));
+  } else {
+    crop_resize_normalize(rgb.data(), src_w, src_h, x0, y0, cw, ch, out_w, out_h,
+                          mean, inv_std,
+                          reinterpret_cast<float*>(PyBytes_AS_STRING(out_bytes)));
+  }
   Py_END_ALLOW_THREADS;
   return Py_BuildValue("(Nii)", out_bytes, src_w, src_h);
+}
+
+PyObject* py_decode_crop_resize(PyObject*, PyObject* args) {
+  return decode_crop_resize_impl(args, false);
+}
+
+PyObject* py_decode_crop_resize_u8(PyObject*, PyObject* args) {
+  return decode_crop_resize_impl(args, true);
 }
 
 // probe_size(data: bytes) -> (w, h): header-only size read for computing
@@ -252,6 +307,8 @@ PyObject* py_probe_size(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"decode_crop_resize", py_decode_crop_resize, METH_VARARGS,
      "JPEG decode + crop + bilinear resize + normalize -> float32 HWC bytes"},
+    {"decode_crop_resize_u8", py_decode_crop_resize_u8, METH_VARARGS,
+     "JPEG decode + crop + bilinear resize -> uint8 HWC bytes (no normalize)"},
     {"probe_size", py_probe_size, METH_VARARGS, "JPEG header size probe"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -217,3 +217,54 @@ def test_resize_modes():
 
     with pytest.raises(ValueError, match="resize_mode"):
         image_transform(32, is_train=False, resize_mode="stretch")
+
+
+def test_uint8_transform_matches_float_path():
+    """to_uint8 + on-device-style normalize == the host float path exactly
+    (the float path normalizes the same post-resize uint8 array)."""
+    from PIL import Image
+
+    from xclip_tpu.data.transforms import (
+        OPENAI_DATASET_MEAN,
+        OPENAI_DATASET_STD,
+        image_transform,
+    )
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (80, 100, 3), np.uint8))
+    tf_f32 = image_transform(64, is_train=False)
+    tf_u8 = image_transform(64, is_train=False, to_uint8=True)
+    ref = tf_f32(img)
+    u8 = tf_u8(img)
+    assert u8.dtype == np.uint8 and u8.shape == (64, 64, 3)
+    mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+    std = np.asarray(OPENAI_DATASET_STD, np.float32)
+    renorm = (u8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(renorm, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("xclip_tpu.data.fastimage", fromlist=["HAVE_FASTIMAGE"]).HAVE_FASTIMAGE,
+    reason="fastimage extension not built (make -C csrc)",
+)
+def test_fastimage_uint8_matches_float(tmp_path):
+    """Native uint8 decode path tracks the float path within the post-resize
+    quantization step (1/255)."""
+    from PIL import Image
+
+    from xclip_tpu.data.fastimage import FastImageTransform
+    from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    rng = np.random.RandomState(1)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(rng.randint(0, 255, (120, 160, 3), np.uint8)).save(p, quality=95)
+    data = p.read_bytes()
+
+    f32 = FastImageTransform(64, is_train=False)(data)
+    u8 = FastImageTransform(64, is_train=False, to_uint8=True)(data)
+    assert u8.dtype == np.uint8
+    mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+    std = np.asarray(OPENAI_DATASET_STD, np.float32)
+    renorm = (u8.astype(np.float32) / 255.0 - mean) / std
+    # one quantization step of slack, scaled by 1/std
+    np.testing.assert_allclose(renorm, f32, atol=(0.5 / 255.0) / std.min() + 1e-6)

@@ -528,3 +528,36 @@ def test_gather_without_grad_semantics():
     wg = shard_map(with_grad_fn, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)), out_specs=P())
     g_wg = jax.grad(lambda i: wg(i, jnp.asarray(txt)))(jnp.asarray(img))
     assert np.abs(np.asarray(g_wg) - np.asarray(g_sharded)).max() > 1e-6
+
+
+def test_uint8_batch_normalizes_on_device():
+    """A uint8 image batch produces the same loss as the equivalently
+    normalized fp32 batch (on-device normalize path)."""
+    from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    model = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 10), weight_decay=0.0)
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+
+    rng = np.random.RandomState(0)
+    n = jax.device_count()
+    size = model.cfg.image_size
+    u8 = rng.randint(0, 255, (2 * n, size, size, 3)).astype(np.uint8)
+    texts = rng.randint(1, 100, size=(2 * n, model.cfg.context_length)).astype(np.int32)
+    mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+    std = np.asarray(OPENAI_DATASET_STD, np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    # the step donates its inputs; fresh pytrees per call
+    b1 = shard_batch(mesh, {"images": u8, "texts": texts})
+    _, _, _, m1 = step(params, state, tx.init(params), b1)
+    l1 = float(m1["loss"])
+    params, state = model.init(jax.random.PRNGKey(0))
+    b2 = shard_batch(mesh, {"images": f32, "texts": texts})
+    _, _, _, m2 = step(params, state, tx.init(params), b2)
+    np.testing.assert_allclose(l1, float(m2["loss"]), rtol=1e-5, atol=1e-5)

@@ -92,7 +92,7 @@ class FastImageTransform:
 
     def __init__(self, size: int, is_train: bool,
                  mean=OPENAI_DATASET_MEAN, std=OPENAI_DATASET_STD,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, to_uint8: bool = False):
         if not HAVE_FASTIMAGE:
             raise RuntimeError("fastimage extension not built; run `make -C csrc`")
         self.size = size
@@ -100,6 +100,7 @@ class FastImageTransform:
         self.mean = tuple(float(m) for m in mean)
         self.std = tuple(float(s) for s in std)
         self.rng = random.Random(seed) if seed is not None else random
+        self.to_uint8 = to_uint8  # uint8 HWC out; normalize happens on-device
 
     def _eval_box(self, w: int, h: int) -> Tuple[float, float, float, float]:
         # shortest-side resize to `size` then center crop `size` == center
@@ -117,6 +118,11 @@ class FastImageTransform:
         else:
             w, h = _fastimage.probe_size(jpeg_bytes)
             x0, y0, cw, ch = self._eval_box(w, h)
+        if self.to_uint8:
+            raw, _, _ = _fastimage.decode_crop_resize_u8(
+                jpeg_bytes, x0, y0, cw, ch, self.size, self.size
+            )
+            return np.frombuffer(raw, np.uint8).reshape(self.size, self.size, 3)
         raw, _, _ = _fastimage.decode_crop_resize(
             jpeg_bytes, x0, y0, cw, ch, self.size, self.size, self.mean, self.std
         )
@@ -129,9 +135,12 @@ class FastFileTransform:
 
     wants_path = True  # datasets hand over the raw path instead of a PIL image
 
-    def __init__(self, size: int, is_train: bool, seed: Optional[int] = None):
-        self.fast = FastImageTransform(size, is_train, seed=seed) if HAVE_FASTIMAGE else None
-        self.fallback = ImageTransform(PreprocessCfg(size=size), is_train, seed)
+    def __init__(self, size: int, is_train: bool, seed: Optional[int] = None,
+                 to_uint8: bool = False):
+        self.fast = (FastImageTransform(size, is_train, seed=seed, to_uint8=to_uint8)
+                     if HAVE_FASTIMAGE else None)
+        self.fallback = ImageTransform(PreprocessCfg(size=size), is_train, seed,
+                                       to_uint8=to_uint8)
 
     def __call__(self, img_or_path):
         if self.fast is not None and isinstance(img_or_path, (str, bytes)):

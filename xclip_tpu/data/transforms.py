@@ -140,11 +140,15 @@ class ImageTransform:
         is_train: bool,
         seed: Optional[int] = None,
         aug_cfg: Optional[AugmentationCfg] = None,
+        to_uint8: bool = False,
     ):
         self.cfg = cfg
         self.is_train = is_train
         self.aug = aug_cfg or AugmentationCfg()
         self.rng = random.Random(seed) if seed is not None else random
+        # uint8 HWC output (normalize happens on-device; numerically
+        # identical — PIL resize returns uint8 before ToTensor/Normalize)
+        self.to_uint8 = to_uint8
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
@@ -172,6 +176,8 @@ class ImageTransform:
         else:
             img = resize_shortest(img, self.cfg.size, self.cfg.interpolation)
             img = center_crop(img, self.cfg.size)
+        if self.to_uint8:
+            return np.asarray(img, dtype=np.uint8)
         return normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
 
 
@@ -184,6 +190,7 @@ def image_transform(
     aug_cfg: Optional[AugmentationCfg] = None,
     resize_mode: str = "shortest",
     interpolation: str = "bicubic",
+    to_uint8: bool = False,
 ) -> ImageTransform:
     if resize_mode not in ("shortest", "longest", "squash"):
         raise ValueError(f"unknown resize_mode {resize_mode!r}")
@@ -192,7 +199,7 @@ def image_transform(
     return ImageTransform(
         PreprocessCfg(size=image_size, mean=mean, std=std, resize_mode=resize_mode,
                       interpolation=interpolation),
-        is_train, seed, aug_cfg=aug_cfg,
+        is_train, seed, aug_cfg=aug_cfg, to_uint8=to_uint8,
     )
 
 

@@ -352,6 +352,11 @@ def main(argv=None) -> int:
             model.cfg.image_size, is_train=False, mean=mean, std=std,
             resize_mode=args.image_resize_mode or "shortest", interpolation=interp,
         )
+    if getattr(args, "device_normalize", True) and getattr(preprocess_train, "to_uint8", None) is False:
+        # ship uint8 images and normalize on-device: 4x smaller host->device
+        # transfers; numerically identical to the host path (PIL resize
+        # already returns uint8 before ToTensor/Normalize)
+        preprocess_train.to_uint8 = True
     # tokenize to the model's context length (reference get_tokenizer reads
     # it from the model config; matters for CoCa's 76-token text towers)
     tokenizer = get_tokenizer(args.model, context_length=model.cfg.context_length)
@@ -406,6 +411,8 @@ def main(argv=None) -> int:
                 coca=is_coca,
                 coca_caption_loss_weight=args.coca_caption_loss_weight,
                 coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
+                image_mean=tuple(args.image_mean) if args.image_mean else None,
+                image_std=tuple(args.image_std) if args.image_std else None,
             ),
         )
         if distill:

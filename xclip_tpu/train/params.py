@@ -97,6 +97,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--local-loss", action="store_true")
     parser.add_argument("--gather-with-grad", action="store_true")
     parser.add_argument("--siglip", action="store_true")
+    parser.add_argument("--device-normalize", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="ship uint8 images to the TPU and normalize on-device "
+                             "(4x smaller host transfers; numerically identical)")
     parser.add_argument("--coca-caption-loss-weight", type=float, default=2.0,
                         help="Weight assigned to caption loss in CoCa.")
     parser.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0,

@@ -47,6 +47,10 @@ class TrainStepCfg:
     coca: bool = False
     coca_caption_loss_weight: float = 2.0
     coca_contrastive_loss_weight: float = 1.0
+    # normalization applied on-device when the loader ships uint8 images
+    # (None = OpenAI CLIP mean/std)
+    image_mean: Optional[tuple] = None
+    image_std: Optional[tuple] = None
 
 
 def _norm_tree(tree):
@@ -84,7 +88,19 @@ def make_train_step(
     # extra "step" scalar in the batch) only exists when the tower uses it
     use_rng = getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
 
+    def maybe_normalize(images):
+        # uint8 batches are normalized on-device in fp32 — identical math to
+        # the host pipeline's (v/255 - mean)/std, 4x less host->device bytes
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+            mean = jnp.asarray(cfg.image_mean or OPENAI_DATASET_MEAN, jnp.float32)
+            std = jnp.asarray(cfg.image_std or OPENAI_DATASET_STD, jnp.float32)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        return images
+
     def forward(params, state, images, texts, rng=None):
+        images = maybe_normalize(images)
         out = model.forward(
             params,
             images,
@@ -125,7 +141,7 @@ def make_train_step(
                 from xclip_tpu.models.coca import coca_loss
 
                 def loss_fn(p):
-                    out = model.forward(p, images, texts, dtype=compute_dtype)
+                    out = model.forward(p, maybe_normalize(images), texts, dtype=compute_dtype)
                     loss, _parts = coca_loss(
                         out,
                         caption_loss_weight=cfg.coca_caption_loss_weight,
