@@ -57,6 +57,18 @@ def _norm_tree(tree):
     return optax.global_norm(tree)
 
 
+def normalize_images(images, cfg: TrainStepCfg):
+    """uint8 batches are normalized on-device in fp32 — identical math to
+    the host pipeline's (v/255 - mean)/std, 4x fewer host->device bytes."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+        mean = jnp.asarray(cfg.image_mean or OPENAI_DATASET_MEAN, jnp.float32)
+        std = jnp.asarray(cfg.image_std or OPENAI_DATASET_STD, jnp.float32)
+        images = (images.astype(jnp.float32) / 255.0 - mean) / std
+    return images
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -89,15 +101,7 @@ def make_train_step(
     use_rng = getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
 
     def maybe_normalize(images):
-        # uint8 batches are normalized on-device in fp32 — identical math to
-        # the host pipeline's (v/255 - mean)/std, 4x less host->device bytes
-        if jnp.issubdtype(images.dtype, jnp.integer):
-            from xclip_tpu.data.transforms import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
-
-            mean = jnp.asarray(cfg.image_mean or OPENAI_DATASET_MEAN, jnp.float32)
-            std = jnp.asarray(cfg.image_std or OPENAI_DATASET_STD, jnp.float32)
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
-        return images
+        return normalize_images(images, cfg)
 
     def forward(params, state, images, texts, rng=None):
         images = maybe_normalize(images)
@@ -277,6 +281,7 @@ def make_distill_train_step(
     compute_dtype = get_policy(cfg.precision).compute_dtype
 
     def local_grads(params, state, t_params, t_state, images, texts):
+        images = normalize_images(images, cfg)
         t_out = teacher_model.forward(
             t_params, images, texts, state=t_state, train=False, dtype=compute_dtype
         )

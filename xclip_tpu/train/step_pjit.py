@@ -62,9 +62,13 @@ def make_train_step_pjit(
     compute_dtype = get_policy(cfg.precision).compute_dtype
 
     def step(params, state, opt_state, batch):
+        from xclip_tpu.train.step import normalize_images
+
+        images = normalize_images(batch["images"], cfg)
+
         def loss_fn(p):
             out = model.forward(
-                p, batch["images"], batch["texts"], state=state, train=True,
+                p, images, batch["texts"], state=state, train=True,
                 dtype=compute_dtype, remat=cfg.grad_checkpointing,
             )
             loss = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
