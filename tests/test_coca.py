@@ -285,8 +285,25 @@ def test_coca_step_grads():
     ]
     assert max(moved) > 0.0  # decoder actually updated (caption loss flows)
 
-    with pytest.raises(NotImplementedError):
-        make_train_step(model, tx, mesh, TrainStepCfg(coca=True, accum_freq=2))
+    # accum=2 reproduces the accum=1 loss on the same effective batch: the
+    # reference concatenates cached full model_out per microbatch, so each
+    # micro loss IS the full-batch loss (grads flow only through slice j)
+    params2 = model.init(jax.random.PRNGKey(0))
+    step2 = make_train_step(model, tx, mesh,
+                            TrainStepCfg(precision="fp32", coca=True, accum_freq=2))
+    batch2 = shard_batch(mesh, {
+        "images": np.tile(images, (2 * n, 1, 1, 1)),
+        "texts": np.tile(text.astype(np.int32), (2 * n, 1)),
+    })
+    _, _, _, m2 = step2(params2, {}, tx.init(params2), batch2)
+    params3 = model.init(jax.random.PRNGKey(0))
+    step3 = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32", coca=True))
+    batch3 = shard_batch(mesh, {
+        "images": np.tile(images, (2 * n, 1, 1, 1)),
+        "texts": np.tile(text.astype(np.int32), (2 * n, 1)),
+    })
+    _, _, _, m3 = step3(params3, {}, tx.init(params3), batch3)
+    np.testing.assert_allclose(float(m2["loss"]), float(m3["loss"]), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")

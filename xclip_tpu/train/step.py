@@ -90,11 +90,6 @@ def make_train_step(
     policy = get_policy(cfg.precision)
     compute_dtype = policy.compute_dtype
     accum = cfg.accum_freq
-    if cfg.coca and accum != 1:
-        raise NotImplementedError(
-            "--accum-freq > 1 with CoCa is not supported yet (the reference "
-            "caches full model_out dicts across microbatches, train.py:115-164)"
-        )
     # patch dropout needs per-step randomness threaded into the compiled
     # program; everything else is deterministic, so the rng plumbing (an
     # extra "step" scalar in the batch) only exists when the tower uses it
@@ -161,6 +156,62 @@ def make_train_step(
                     return _loss(p, img_f, txt_f), new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        elif cfg.coca:
+            # reference accum with CoCa (train.py:115-164): EVERY model_out
+            # tensor — features AND caption logits/labels — is cached and
+            # concatenated, so each microbatch's loss sees the full
+            # effective batch (only microbatch j's slice carries grad)
+            from xclip_tpu.models.coca import coca_loss
+
+            b_micro = images.shape[0] // accum
+            images_m = images.reshape(accum, b_micro, *images.shape[1:])
+            texts_m = texts.reshape(accum, b_micro, *texts.shape[1:])
+
+            def coca_out(p, imgs, txts):
+                out = model.forward(p, maybe_normalize(imgs), txts, dtype=compute_dtype)
+                return out["image_features"], out["text_features"], out["logits"], out["labels"]
+
+            def cache_coca(carry, batch_j):
+                _, imgs, txts = batch_j
+                return carry, coca_out(params, imgs, txts)
+
+            js = jnp.arange(accum)
+            _, cached = jax.lax.scan(cache_coca, 0, (js, images_m, texts_m))
+            cached = jax.lax.stop_gradient(cached)
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                j, imgs, txts = xs
+
+                def loss_fn(p):
+                    cur = coca_out(p, imgs, txts)
+                    full = [
+                        jax.lax.dynamic_update_index_in_dim(c, v, j, 0).reshape(
+                            accum * b_micro, *c.shape[2:]
+                        )
+                        for c, v in zip(cached, cur)
+                    ]
+                    out = {
+                        "image_features": full[0], "text_features": full[1],
+                        "logits": full[2], "labels": full[3],
+                        "logit_scale": jnp.exp(p["logit_scale"]),
+                    }
+                    loss_j, _parts = coca_loss(
+                        out,
+                        caption_loss_weight=cfg.coca_caption_loss_weight,
+                        clip_loss_weight=cfg.coca_contrastive_loss_weight,
+                        pad_id=model.cfg.pad_id,
+                        axis_name=DATA_AXIS,
+                    )
+                    return loss_j
+
+                loss_j, g_j = jax.value_and_grad(loss_fn)(params)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g_j), loss_acc + loss_j), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, 0.0), (js, images_m, texts_m))
+            loss = loss_sum / accum
+            new_state = state
         else:
             # reference cached-negatives accumulation (train.py:115-164):
             # phase 1 — no-grad forward caching features for all microbatches
