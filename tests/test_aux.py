@@ -340,3 +340,25 @@ def test_remote_sync_fsspec(tmp_path):
     assert remote_sync(str(src), str(dst), "fsspec")
     assert (dst / "checkpoints" / "epoch_1.pt").read_bytes() == b"abc"
     assert not (dst / "checkpoints" / "epoch_latest.pt").exists()
+
+
+def test_pretrained_registry_catalog():
+    """Catalog parity with the reference pretrained.py restricted to shipped
+    configs: OpenAI sha256 URLs, GitHub-release weights, HF-hub tags."""
+    from xclip_tpu.models import pretrained as P
+
+    pairs = P.list_pretrained()
+    assert len(pairs) >= 80
+    assert ("RN50", "openai") in pairs and ("RN50", "cc12m") in pairs
+    assert P.get_pretrained_url("RN50", "openai").endswith("RN50.pt")
+    assert "openaipublic" in P.get_pretrained_url("ViT-L-14-336", "openai")
+    # laion/datacomp hf-hub tags catalogued; download gated with guidance
+    assert "laion2b_s34b_b79k" in P.list_pretrained_tags_by_model("ViT-B-32")
+    cfg = P.get_pretrained_cfg("ViT-B-32", "laion2b_s34b_b79k")
+    assert cfg["hf_hub"].startswith("laion/")
+    with pytest.raises(RuntimeError, match="local path"):
+        P.download_pretrained("ViT-B-32", "laion2b_s34b_b79k")
+    with pytest.raises(ValueError, match="No pretrained weights"):
+        P.download_pretrained("RN50", "nope")
+    # quickgelu aliases resolve to the same OpenAI weights
+    assert P.get_pretrained_url("RN50-quickgelu", "openai") == P.get_pretrained_url("RN50", "openai")

@@ -16,41 +16,20 @@ import urllib.request
 import warnings
 from typing import Dict, List, Optional
 
-_OPENAI_BASE = "https://openaipublic.azureedge.net/clip/models"
+_CATALOG_PATH = os.path.join(os.path.dirname(__file__), "pretrained_catalog.json")
 
-# sha256-prefixed public OpenAI CLIP releases (the hash is embedded in the URL)
-_PRETRAINED: Dict[str, Dict[str, str]] = {
-    "RN50": {
-        "openai": f"{_OPENAI_BASE}/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt"
-    },
-    "RN101": {
-        "openai": f"{_OPENAI_BASE}/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt"
-    },
-    "RN50x4": {
-        "openai": f"{_OPENAI_BASE}/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt"
-    },
-    "RN50x16": {
-        "openai": f"{_OPENAI_BASE}/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt"
-    },
-    "RN50x64": {
-        "openai": f"{_OPENAI_BASE}/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt"
-    },
-    "ViT-B-32": {
-        "openai": f"{_OPENAI_BASE}/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt"
-    },
-    "ViT-B-16": {
-        "openai": f"{_OPENAI_BASE}/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt"
-    },
-    "ViT-L-14": {
-        "openai": f"{_OPENAI_BASE}/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt"
-    },
-    "ViT-L-14-336": {
-        "openai": f"{_OPENAI_BASE}/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt"
-    },
-}
-# quickgelu variants load the same OpenAI weights
-for _name in ("RN50", "RN101", "ViT-B-32", "ViT-B-16", "ViT-L-14"):
-    _PRETRAINED[f"{_name}-quickgelu"] = dict(_PRETRAINED[_name])
+# (model, tag) -> {"url": ..., "hf_hub": ..., optional preprocess overrides}.
+# Extracted from the reference catalog (deps/open_clip/src/open_clip/
+# pretrained.py:29-659) restricted to the model configs this framework
+# ships: sha256-prefixed OpenAI releases, open_clip GitHub-release weights
+# (yfcc15m/cc12m/laion400m/laion2b_e16), and HF-hub ids (laion2b/datacomp/
+# commonpool/dfn/CLIPA/CoCa). hf_hub-only tags are catalogued for
+# list_pretrained parity; downloading them needs huggingface_hub, absent in
+# zero-egress environments — pass a local path instead.
+import json as _json
+
+with open(_CATALOG_PATH) as _fh:
+    _PRETRAINED: Dict[str, Dict[str, dict]] = _json.load(_fh)
 
 
 def list_pretrained(as_str: bool = False) -> List:
@@ -67,8 +46,13 @@ def list_pretrained_models_by_tag(tag: str) -> List[str]:
     return [m for m, tags in _PRETRAINED.items() if tag in tags]
 
 
+def get_pretrained_cfg(model: str, tag: str) -> dict:
+    """Catalog entry for (model, tag) (reference get_pretrained_cfg)."""
+    return dict(_PRETRAINED.get(model, {}).get(tag, {}))
+
+
 def get_pretrained_url(model: str, tag: str) -> str:
-    return _PRETRAINED.get(model, {}).get(tag, "")
+    return _PRETRAINED.get(model, {}).get(tag, {}).get("url", "")
 
 
 def _cache_dir() -> str:
@@ -103,10 +87,17 @@ def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None) -> s
 
 
 def download_pretrained(model: str, tag: str = "openai", cache_dir: Optional[str] = None) -> str:
-    url = get_pretrained_url(model, tag)
-    if not url:
+    cfg = get_pretrained_cfg(model, tag)
+    if not cfg:
         raise ValueError(
             f"No pretrained weights for ({model}, {tag}); "
             f"available: {list_pretrained_tags_by_model(model)}"
         )
-    return download_pretrained_from_url(url, cache_dir)
+    if cfg.get("url"):
+        return download_pretrained_from_url(cfg["url"], cache_dir)
+    raise RuntimeError(
+        f"({model}, {tag}) is distributed via the Hugging Face hub "
+        f"({cfg.get('hf_hub')}); huggingface_hub is unavailable here — "
+        f"download the open_clip .pt/.bin manually and pass its local path "
+        f"to create_model(pretrained=...)"
+    )
