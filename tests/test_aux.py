@@ -362,3 +362,38 @@ def test_pretrained_registry_catalog():
         P.download_pretrained("RN50", "nope")
     # quickgelu aliases resolve to the same OpenAI weights
     assert P.get_pretrained_url("RN50-quickgelu", "openai") == P.get_pretrained_url("RN50", "openai")
+
+
+def test_download_pretrained_plumbing(tmp_path, monkeypatch):
+    """download_pretrained_from_url: caching + sha256-prefix verification
+    (reference tests/test_download_pretrained.py, without network)."""
+    import hashlib
+
+    from xclip_tpu.models import pretrained as P
+
+    blob = b"weights-bytes"
+    sha = hashlib.sha256(blob).hexdigest()
+    src = tmp_path / "src" / sha / "model.pt"
+    src.parent.mkdir(parents=True)
+    src.write_bytes(blob)
+    url = "https://openaipublic.example/" + sha + "/model.pt"
+
+    def fake_retrieve(u, target):
+        assert u == url
+        import shutil
+        shutil.copy(src, target)
+
+    monkeypatch.setattr(P.urllib.request, "urlretrieve", fake_retrieve)
+    cache = tmp_path / "cache"
+    got = P.download_pretrained_from_url(url, cache_dir=str(cache))
+    assert os.path.exists(got)
+    # second call: served from cache (no retrieval)
+    monkeypatch.setattr(P.urllib.request, "urlretrieve",
+                        lambda *a: (_ for _ in ()).throw(AssertionError("re-downloaded")))
+    assert P.download_pretrained_from_url(url, cache_dir=str(cache)) == got
+
+    # corrupted cache entry with a sha-bearing URL -> re-download attempted
+    (cache / "model.pt").write_bytes(b"corrupt")
+    with pytest.raises(AssertionError, match="re-downloaded"):
+        with pytest.warns(UserWarning, match="SHA256"):
+            P.download_pretrained_from_url(url, cache_dir=str(cache))
