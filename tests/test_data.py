@@ -268,3 +268,26 @@ def test_fastimage_uint8_matches_float(tmp_path):
     renorm = (u8.astype(np.float32) / 255.0 - mean) / std
     # one quantization step of slack, scaled by 1/std
     np.testing.assert_allclose(renorm, f32, atol=(0.5 / 255.0) / std.min() + 1e-6)
+
+
+def test_imagenet_v2_dataset(tmp_path):
+    """ImageNet-V2 numeric-dirname labels (int(dirname), NOT alphabetical —
+    the imagenetv2_pytorch contract, reference training/data.py:130-131),
+    including the package's download-layout subdirectory."""
+    from PIL import Image
+
+    from xclip_tpu.data.datasets import ImageNetV2
+
+    tree = tmp_path / "imagenetv2-matched-frequency-format-val"
+    rng = np.random.RandomState(0)
+    for cls in ("0", "5", "10"):
+        d = tree / cls
+        d.mkdir(parents=True)
+        Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(d / "a.jpeg")
+
+    for root in (tree, tmp_path):  # direct tree and package layout
+        ds = ImageNetV2(str(root))
+        labels = sorted(t for _, t in ds.samples)
+        assert labels == [0, 5, 10]  # alphabetical sort would give 0,10,5 -> 0,1,2
+        img, target = ds[0]
+        assert target in (0, 5, 10)

@@ -100,6 +100,29 @@ class ImageNet(ImageFolderIndex):
         self.targets = np.array([t for _, t in self.samples])
 
 
+class ImageNetV2(ImageFolderIndex):
+    """ImageNet-V2 tree: class subdirectories are NUMERIC ImageNet indices
+    ("0".."999"), so labels come from int(dirname), not alphabetical order
+    (the imagenetv2_pytorch ImageNetV2Dataset contract the reference uses,
+    training/data.py:130-131 — that package only adds downloading, which a
+    zero-egress box can't do; point this at the extracted tree)."""
+
+    def __init__(self, root: str, transform=None, target_transform=None, **_):
+        if not any(d.name.isdigit() for d in os.scandir(root) if d.is_dir()):
+            # accept the package's download layout: root/imagenetv2-*-val/
+            subs = [d.path for d in os.scandir(root)
+                    if d.is_dir() and d.name.startswith("imagenetv2-")]
+            assert len(subs) == 1, f"no imagenetv2 class tree under {root}"
+            root = subs[0]
+        super().__init__(root, transform, target_transform)
+        # relabel: int(dirname) is the ImageNet class index
+        relabel = {self.class_to_idx[c]: int(c) for c in self.classes}
+        self.samples = [(p, relabel[t]) for p, t in self.samples]
+        self.class_to_idx = {c: int(c) for c in self.classes}
+        self.class_labels = _imagenet_class_labels()
+        self.targets = np.array([t for _, t in self.samples])
+
+
 class CorruptedImageNet(ImageFolderIndex):
     """ImageNet-C: root/<corruption>/<severity>/ (xclip/datasets.py:1044)."""
 

@@ -129,6 +129,11 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
             root, split = os.path.dirname(root.rstrip("/")), "val"
         ds = ImageNet(root, split=split, transform=preprocess_val)
         data["imagenet-val"] = DataLoader(ds, args.batch_size, num_threads=args.workers)
+    if getattr(args, "imagenet_v2", None):
+        from xclip_tpu.data.datasets import ImageNetV2
+
+        ds = ImageNetV2(args.imagenet_v2, transform=preprocess_val)
+        data["imagenet-v2"] = DataLoader(ds, args.batch_size, num_threads=args.workers)
     return data
 
 

@@ -53,6 +53,8 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--csv-img-key", type=str, default="filepath")
     parser.add_argument("--csv-caption-key", type=str, default="title")
     parser.add_argument("--imagenet-val", type=str, default=None)
+    parser.add_argument("--imagenet-v2", type=str, default=None,
+                        help="path to an extracted ImageNet-V2 tree for zero-shot eval")
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--train-num-samples", type=int, default=None)
     # model
