@@ -53,6 +53,7 @@ def make_train_step_pjit(
     shard_params: bool = False,
     example_params=None,
     example_opt_state=None,
+    min_shard_size: int = 2**14,
 ) -> Callable:
     """Build the pjit step. With ``shard_params`` the caller should
     device_put params/opt_state with :func:`zero_sharding` (the returned
@@ -93,8 +94,8 @@ def make_train_step_pjit(
     }
     if shard_params:
         assert example_params is not None and example_opt_state is not None
-        param_sh = zero_sharding(mesh, example_params)
-        opt_sh = zero_sharding(mesh, example_opt_state)
+        param_sh = zero_sharding(mesh, example_params, min_size=min_shard_size)
+        opt_sh = zero_sharding(mesh, example_opt_state, min_size=min_shard_size)
     else:
         param_sh = jax.tree_util.tree_map(lambda _: replicated, example_params) if example_params is not None else replicated
         opt_sh = jax.tree_util.tree_map(lambda _: replicated, example_opt_state) if example_opt_state is not None else replicated
