@@ -1,0 +1,164 @@
+"""HF text tower: golden parity vs the reference HFTextEncoder (torch) and
+integration with CLIPModel. Fully offline — configs built via
+AutoConfig.for_model, weights converted torch->flax locally."""
+
+import json
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+HAS_REFERENCE = os.path.exists("/root/reference")
+
+TINY_BERT = dict(
+    model_type="bert", vocab_size=120, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=64, max_position_embeddings=32,
+    pad_token_id=0,
+)
+
+
+def _ids(n=3, l=16, pad_from=10):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 119, size=(n, l)).astype(np.int32)
+    ids[:, pad_from:] = 0  # pad tail exercises the attention mask + poolers
+    return ids
+
+
+@pytest.mark.parametrize("pooler,proj", [
+    ("mean_pooler", "linear"),
+    ("cls_last_hidden_state_pooler", "mlp"),
+    ("cls_pooler", None),
+])
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_hf_tower_parity_vs_reference(tmp_path, pooler, proj):
+    import torch
+
+    from ref_compat import import_reference_open_clip
+    from xclip_tpu.models.hf_text import HFTextCfg, HFTextTower
+
+    import_reference_open_clip()
+    from open_clip.hf_model import HFTextEncoder
+    from transformers import AutoConfig
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        config = AutoConfig.for_model(**TINY_BERT)
+        torch.manual_seed(0)
+        out_dim = 32 if proj is None else 24
+        ref = HFTextEncoder("", output_dim=out_dim, config=config,
+                            pooler_type=pooler, proj_type=proj, pretrained=False)
+        ref.eval()
+        # export the transformer weights for the flax side
+        ref.transformer.save_pretrained(tmp_path / "hf")
+
+    cfg = HFTextCfg(
+        hf_model_name=str(tmp_path / "hf"), output_dim=out_dim,
+        hf_model_pretrained=True, pooler_type=pooler, proj_type=proj,
+    )
+    tower = HFTextTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0))
+    # bring the projection weights over (torch Linear weight is (out, in))
+    if proj == "linear":
+        params["proj"]["linear"]["kernel"] = jnp.asarray(
+            ref.proj.weight.detach().numpy().T)
+    elif proj == "mlp":
+        params["proj"]["fc1"]["kernel"] = jnp.asarray(ref.proj[0].weight.detach().numpy().T)
+        params["proj"]["fc2"]["kernel"] = jnp.asarray(ref.proj[2].weight.detach().numpy().T)
+
+    ids = _ids()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids.astype(np.int64))).numpy()
+    got = np.asarray(tower.apply(params, ids))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_clip_model_with_hf_text_tower():
+    """CLIPModel dispatches hf_model_name text_cfgs end-to-end: init,
+    encode_text, joint forward, and gradient flow into the HF params."""
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    d = {
+        "embed_dim": 24,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16,
+                       "head_width": 8},
+        "text_cfg": {
+            "hf_model_name": "tiny-bert-test",
+            "hf_model_pretrained": False,
+            "hf_pooler_type": "mean_pooler",
+            "hf_proj_type": "mlp",
+            "hf_model_config": TINY_BERT,
+        },
+    }
+    cfg = clip_cfg_from_dict(d)
+    assert cfg.is_hf_text and cfg.context_length == 32
+    model = CLIPModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert "hf" in params["text"] and "proj" in params["text"]
+
+    ids = _ids()
+    feats, _ = model.encode_text(params, ids, normalize=True)
+    assert feats.shape == (3, 24)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1), 1.0, atol=1e-5)
+
+    imgs = np.random.RandomState(1).randn(3, 32, 32, 3).astype(np.float32)
+    out = model.forward(params, imgs, ids, state=state)
+    assert out["image_features"].shape == out["text_features"].shape == (3, 24)
+
+    def loss(p):
+        f, _ = model.encode_text(p, ids, normalize=True)
+        return jnp.sum(f.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["text"]["hf"]))
+    assert gnorm > 0.0  # grads reach the flax transformer params
+
+
+def test_hf_bundled_roberta_config_offline():
+    """roberta-base builds from the bundled config with zero egress
+    (hf_model_pretrained=false); pretrained without a local path errors
+    with guidance."""
+    from xclip_tpu.models.hf_text import HFTextCfg, HFTextTower, _resolve_config
+
+    cfg = _resolve_config(HFTextCfg(hf_model_name="roberta-base", output_dim=512))
+    assert cfg.model_type == "roberta" and cfg.hidden_size == 768
+
+    with pytest.raises(RuntimeError, match="local HF directory"):
+        HFTextTower(HFTextCfg(hf_model_name="roberta-base", output_dim=512,
+                              hf_model_pretrained=True))
+
+
+def test_hf_configs_parse():
+    """The shipped HF-tower model configs parse into HFTextCfg CLIPCfgs."""
+    from xclip_tpu.models.clip import clip_cfg_from_dict
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "xclip_tpu", "models", "configs")
+    for name in ("roberta-ViT-B-32", "xlm-roberta-base-ViT-B-32",
+                 "xlm-roberta-large-ViT-H-14"):
+        with open(os.path.join(cfg_dir, name + ".json")) as fh:
+            d = json.load(fh)
+        cfg = clip_cfg_from_dict(d, quick_gelu=bool(d.get("quick_gelu", False)))
+        assert cfg.is_hf_text
+        assert cfg.text.proj_type == "mlp"
+        assert cfg.text.pooler_type == "mean_pooler"
+
+
+def test_get_tokenizer_hf_dispatch(tmp_path):
+    """get_tokenizer routes hf_tokenizer_name configs to HFTokenizer (and
+    errors helpfully offline); plain configs keep the CLIP BPE."""
+    import xclip_tpu.models.factory as F
+    from xclip_tpu.tokenizer import SimpleTokenizer, get_tokenizer
+
+    tok = get_tokenizer("RN50")
+    assert isinstance(tok, SimpleTokenizer)
+
+    F._MODEL_CONFIGS["HFTokTest"] = {
+        "embed_dim": 8,
+        "vision_cfg": {"image_size": 32, "layers": 1, "width": 8, "patch_size": 16},
+        "text_cfg": {"hf_model_name": "roberta-base", "hf_tokenizer_name": "roberta-base"},
+    }
+    with pytest.raises(RuntimeError, match="local tokenizer directory"):
+        get_tokenizer("HFTokTest")

@@ -46,7 +46,15 @@ class CLIPCfg:
         return self.vision.image_size
 
     @property
+    def is_hf_text(self) -> bool:
+        return getattr(self.text, "is_hf", False)
+
+    @property
     def context_length(self) -> int:
+        if self.is_hf_text:
+            from xclip_tpu.models.clip import _hf_tower
+
+            return _hf_tower(self.text).context_length
         return self.text.context_length
 
 
@@ -86,6 +94,15 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
             no_ln_pre=bool(v.get("no_ln_pre", False)),
             ls_init_value=v.get("ls_init_value"),
         )
+    if "hf_model_name" in t:
+        from xclip_tpu.models.hf_text import hf_text_cfg_from_dict
+
+        text = hf_text_cfg_from_dict(t, embed_dim)
+        kwargs = {}
+        if "init_logit_scale" in d:
+            kwargs["init_logit_scale"] = float(d["init_logit_scale"])
+        return CLIPCfg(embed_dim=embed_dim, vision=vision, text=text,
+                       init_logit_bias=init_logit_bias, **kwargs)
     text = T.TextTransformerCfg(
         context_length=t.get("context_length", 77),
         vocab_size=t.get("vocab_size", 49408),
@@ -106,6 +123,18 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
                    init_logit_bias=init_logit_bias, **kwargs)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _hf_tower(text_cfg):
+    """Cached HFTextTower per HFTextCfg (flax module construction is
+    expensive; the cfg is a frozen hashable dataclass)."""
+    from xclip_tpu.models.hf_text import HFTextTower
+
+    return HFTextTower(text_cfg)
+
+
 def _l2_normalize(x, axis=-1, eps: float = 1e-12):
     x = x.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
@@ -123,9 +152,13 @@ class CLIPModel:
             vparams, vstate = R.resnet_init(kv, self.cfg.vision)
         else:
             vparams, vstate = T.vit_init(kv, self.cfg.vision), {}
+        if self.cfg.is_hf_text:
+            text_params = _hf_tower(self.cfg.text).init(kt)
+        else:
+            text_params = T.text_init(kt, self.cfg.text)
         params = {
             "visual": vparams,
-            "text": T.text_init(kt, self.cfg.text),
+            "text": text_params,
             "logit_scale": jnp.asarray(self.cfg.init_logit_scale, jnp.float32),
         }
         if self.cfg.init_logit_bias is not None:
@@ -173,9 +206,13 @@ class CLIPModel:
         capture: Optional[Sequence[str]] = None,
         remat: bool = False,
     ):
-        feats, inters = T.text_apply(
-            params["text"], text_ids, self.cfg.text, dtype=dtype, capture=capture, remat=remat
-        )
+        if self.cfg.is_hf_text:
+            feats = _hf_tower(self.cfg.text).apply(params["text"], text_ids, dtype=dtype)
+            inters = {}
+        else:
+            feats, inters = T.text_apply(
+                params["text"], text_ids, self.cfg.text, dtype=dtype, capture=capture, remat=remat
+            )
         if normalize:
             feats = _l2_normalize(feats)
         return feats, inters

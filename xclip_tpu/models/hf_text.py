@@ -1,0 +1,197 @@
+"""HuggingFace text towers for CLIP — the JAX equivalent of the reference's
+hf_model.py (deps/open_clip/src/open_clip/hf_model.py:1-193).
+
+The reference wraps torch ``AutoModel``; here the tower is a
+``FlaxAutoModel`` whose parameters live inside the CLIP param pytree like
+any other leaf (so the pjit/shard_map train step, AdamW masking and
+checkpointing all work unchanged). Poolers and the linear/mlp projection
+mirror the reference exactly (hf_model.py:44-95,140-152).
+
+Offline behaviour (this box has no egress): configs for the reference's
+roberta/xlm-roberta families are bundled, so ``hf_model_pretrained=false``
+towers build with random init anywhere; pretrained weights load from a
+LOCAL HF directory path (torch checkpoints are converted by transformers'
+own from_pt path). Encoder-decoder archs (mt5) are not supported yet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference arch_dict defaults (hf_configs.py): default pooler per arch
+_DEFAULT_POOLER = {
+    "roberta": "mean_pooler",
+    "xlm-roberta": "mean_pooler",
+    "mt5": "mean_pooler",
+    "bert": "cls_pooler",
+}
+
+# public architecture configs for the HF models the reference's
+# model_configs reference, so config-only towers build with zero egress
+_BUNDLED_CONFIGS = {
+    "roberta-base": dict(
+        model_type="roberta", vocab_size=50265, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+    "xlm-roberta-base": dict(
+        model_type="xlm-roberta", vocab_size=250002, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+    "xlm-roberta-large": dict(
+        model_type="xlm-roberta", vocab_size=250002, hidden_size=1024,
+        num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class HFTextCfg:
+    """Text-tower config for hf_model_name text_cfgs (reference
+    CLIPTextCfg.hf_* fields, model.py:58-85)."""
+
+    hf_model_name: str
+    output_dim: int
+    hf_model_pretrained: bool = True
+    pooler_type: Optional[str] = None
+    proj_type: Optional[str] = "mlp"  # reference hf_proj_type default
+    hf_config_json: Optional[str] = None  # explicit config dict (offline)
+
+    @property
+    def is_hf(self) -> bool:  # cheap discriminator for CLIPModel dispatch
+        return True
+
+
+def _resolve_config(cfg: HFTextCfg):
+    import os
+
+    from transformers import AutoConfig
+
+    if cfg.hf_config_json:
+        return AutoConfig.for_model(**json.loads(cfg.hf_config_json))
+    if os.path.isdir(cfg.hf_model_name):
+        return AutoConfig.from_pretrained(cfg.hf_model_name)
+    if cfg.hf_model_name in _BUNDLED_CONFIGS:
+        return AutoConfig.for_model(**_BUNDLED_CONFIGS[cfg.hf_model_name])
+    # last resort: hub lookup (fails fast on zero-egress boxes)
+    return AutoConfig.from_pretrained(cfg.hf_model_name)
+
+
+class HFTextTower:
+    """Functional facade over a FlaxAutoModel + pooler + projection."""
+
+    def __init__(self, cfg: HFTextCfg):
+        import os
+        import warnings
+
+        self.cfg = cfg
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from transformers import FlaxAutoModel
+
+            config = _resolve_config(cfg)
+            if getattr(config, "is_encoder_decoder", False):
+                raise NotImplementedError(
+                    "encoder-decoder HF towers (mt5) are not supported yet"
+                )
+            self.config = config
+            self.pooler_type = cfg.pooler_type or _DEFAULT_POOLER.get(
+                config.model_type, "cls_pooler"
+            )
+            add_pool = self.pooler_type == "cls_pooler"
+            if cfg.hf_model_pretrained and os.path.isdir(cfg.hf_model_name):
+                self._flax = FlaxAutoModel.from_pretrained(
+                    cfg.hf_model_name, add_pooling_layer=add_pool, from_pt=None
+                )
+            elif cfg.hf_model_pretrained and cfg.hf_model_name not in _BUNDLED_CONFIGS:
+                self._flax = FlaxAutoModel.from_pretrained(
+                    cfg.hf_model_name, add_pooling_layer=add_pool
+                )
+            else:
+                if cfg.hf_model_pretrained:
+                    raise RuntimeError(
+                        f"pretrained weights for {cfg.hf_model_name!r} are not "
+                        "available offline — pass a local HF directory path as "
+                        "hf_model_name, or set hf_model_pretrained=false"
+                    )
+                self._flax = FlaxAutoModel.from_config(config, add_pooling_layer=add_pool)
+        self.width = getattr(config, "hidden_size", getattr(config, "d_model", None))
+        self.vocab_size = getattr(config, "vocab_size", 0)
+        self.context_length = getattr(config, "max_position_embeddings", 0)
+
+    # -- params --------------------------------------------------------------
+    def init(self, rng) -> Dict:
+        from xclip_tpu.models import layers as L
+
+        params: Dict = {"hf": jax.tree_util.tree_map(jnp.asarray, dict(self._flax.params))}
+        d, out = self.width, self.cfg.output_dim
+        if self.cfg.proj_type is None and d == out:
+            pass  # identity
+        elif self.cfg.proj_type == "linear" or (self.cfg.proj_type is None and d != out):
+            params["proj"] = {"linear": L.linear_init(rng, d, out, bias=False)}
+        elif self.cfg.proj_type == "mlp":
+            hidden = (d + out) // 2
+            k1, k2 = jax.random.split(rng)
+            params["proj"] = {
+                "fc1": L.linear_init(k1, d, hidden, bias=False),
+                "fc2": L.linear_init(k2, hidden, out, bias=False),
+            }
+        else:
+            raise ValueError(f"unknown proj_type {self.cfg.proj_type!r}")
+        return params
+
+    # -- forward -------------------------------------------------------------
+    def apply(self, params, text_ids, *, dtype=None) -> jnp.ndarray:
+        from xclip_tpu.models import layers as L
+
+        del dtype  # HF tower computes in its own dtype (fp32)
+        ids = jnp.asarray(text_ids)
+        mask = (ids != self.config.pad_token_id).astype(jnp.int32)
+        out = self._flax(input_ids=ids, attention_mask=mask, params=dict(params["hf"]))
+
+        if self.pooler_type == "mean_pooler":
+            m = mask[..., None].astype(out.last_hidden_state.dtype)
+            pooled = (out.last_hidden_state * m).sum(axis=1) / m.sum(axis=1)
+        elif self.pooler_type == "max_pooler":
+            neg = jnp.where(mask[..., None] == 0, -jnp.inf, 0.0)
+            pooled = (out.last_hidden_state + neg).max(axis=1)
+        elif self.pooler_type == "cls_pooler":
+            pooled = out.pooler_output if getattr(out, "pooler_output", None) is not None \
+                else out.last_hidden_state[:, 0]
+        elif self.pooler_type == "cls_last_hidden_state_pooler":
+            pooled = out.last_hidden_state[:, 0]
+        else:
+            raise ValueError(f"unknown pooler {self.pooler_type!r}")
+
+        if "proj" not in params:
+            return pooled
+        p = params["proj"]
+        if "linear" in p:
+            return L.linear_apply(p["linear"], pooled)
+        h = L.linear_apply(p["fc1"], pooled)
+        h = L.gelu(h)
+        return L.linear_apply(p["fc2"], h)
+
+
+def hf_text_cfg_from_dict(t: dict, embed_dim: int) -> HFTextCfg:
+    """text_cfg dict with hf_model_name -> HFTextCfg (reference
+    _build_text_tower, model.py:375-392)."""
+    return HFTextCfg(
+        hf_model_name=t["hf_model_name"],
+        output_dim=embed_dim,
+        hf_model_pretrained=bool(t.get("hf_model_pretrained", True)),
+        pooler_type=t.get("hf_pooler_type"),
+        proj_type=t.get("hf_proj_type", "mlp"),
+        hf_config_json=json.dumps(t["hf_model_config"]) if t.get("hf_model_config") else None,
+    )

@@ -358,9 +358,22 @@ def decode(token_ids) -> str:
     return _default_tokenizer().decode(np.asarray(token_ids).tolist())
 
 
-def get_tokenizer(model_name: str = "", context_length: Optional[int] = None, **kwargs) -> SimpleTokenizer:
-    """Tokenizer factory keyed by model name (all bundled models use the
-    OpenAI BPE; mirrors open_clip factory.get_tokenizer for the model set
-    this framework ships)."""
-    del model_name  # every shipped config uses the simple BPE tokenizer
+def get_tokenizer(model_name: str = "", context_length: Optional[int] = None, **kwargs):
+    """Tokenizer factory keyed by model name (mirrors open_clip
+    factory.get_tokenizer): configs with an ``hf_tokenizer_name`` resolve a
+    HuggingFace tokenizer (requires the tokenizer files locally — zero
+    egress); everything else uses the CLIP BPE."""
+    hf_name = None
+    if model_name:
+        try:
+            from xclip_tpu.models.factory import get_model_config
+
+            cfg = get_model_config(model_name)
+            hf_name = (cfg or {}).get("text_cfg", {}).get("hf_tokenizer_name")
+        except Exception:
+            hf_name = None
+    if hf_name:
+        from xclip_tpu.tokenizer.hf import HFTokenizer
+
+        return HFTokenizer(hf_name, context_length=context_length or DEFAULT_CONTEXT_LENGTH)
     return SimpleTokenizer(context_length=context_length or DEFAULT_CONTEXT_LENGTH, **kwargs)
