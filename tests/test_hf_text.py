@@ -137,7 +137,8 @@ def test_hf_configs_parse():
 
     cfg_dir = os.path.join(os.path.dirname(__file__), "..", "xclip_tpu", "models", "configs")
     for name in ("roberta-ViT-B-32", "xlm-roberta-base-ViT-B-32",
-                 "xlm-roberta-large-ViT-H-14"):
+                 "xlm-roberta-large-ViT-H-14", "mt5-base-ViT-B-32",
+                 "mt5-xl-ViT-H-14"):
         with open(os.path.join(cfg_dir, name + ".json")) as fh:
             d = json.load(fh)
         cfg = clip_cfg_from_dict(d, quick_gelu=bool(d.get("quick_gelu", False)))
@@ -162,3 +163,45 @@ def test_get_tokenizer_hf_dispatch(tmp_path):
     }
     with pytest.raises(RuntimeError, match="local tokenizer directory"):
         get_tokenizer("HFTokTest")
+
+
+TINY_MT5 = dict(
+    model_type="mt5", vocab_size=150, d_model=32, d_kv=16, d_ff=64,
+    num_layers=2, num_heads=2, pad_token_id=0, decoder_start_token_id=0,
+)
+
+
+def test_hf_mt5_encoder_tower(tmp_path):
+    """mt5 (encoder-decoder) towers use the flax encoder-only class — parity
+    vs torch MT5EncoderModel + the reference MeanPooler composition (the
+    reference wraps model.encoder the same way, hf_model.py:124-127)."""
+    import torch
+
+    from xclip_tpu.models.hf_text import HFTextCfg, HFTextTower
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from transformers import AutoConfig, MT5EncoderModel
+
+        config = AutoConfig.for_model(**TINY_MT5)
+        torch.manual_seed(0)
+        tenc = MT5EncoderModel(config)
+        tenc.eval()
+        tenc.save_pretrained(tmp_path / "mt5")
+
+    cfg = HFTextCfg(hf_model_name=str(tmp_path / "mt5"), output_dim=32,
+                    hf_model_pretrained=True, proj_type=None)
+    tower = HFTextTower(cfg)
+    assert tower.pooler_type == "mean_pooler" and tower.width == 32
+    params = tower.init(jax.random.PRNGKey(0))
+
+    ids = np.random.RandomState(0).randint(1, 149, size=(2, 12)).astype(np.int32)
+    ids[:, 9:] = 0
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        out = tenc(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                   attention_mask=torch.from_numpy(mask))
+        m = torch.from_numpy(mask).unsqueeze(-1)
+        want = ((out.last_hidden_state * m).sum(1) / m.sum(1)).numpy()
+    got = np.asarray(tower.apply(params, ids))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)

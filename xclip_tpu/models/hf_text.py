@@ -53,6 +53,18 @@ _BUNDLED_CONFIGS = {
         max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
         pad_token_id=1, bos_token_id=0, eos_token_id=2,
     ),
+    "google/mt5-base": dict(
+        model_type="mt5", vocab_size=250112, d_model=768, d_kv=64, d_ff=2048,
+        num_layers=12, num_heads=12, feed_forward_proj="gated-gelu",
+        pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
+        tie_word_embeddings=False,
+    ),
+    "google/mt5-xl": dict(
+        model_type="mt5", vocab_size=250112, d_model=2048, d_kv=64, d_ff=5120,
+        num_layers=24, num_heads=32, feed_forward_proj="gated-gelu",
+        pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -101,23 +113,30 @@ class HFTextTower:
             from transformers import FlaxAutoModel
 
             config = _resolve_config(cfg)
-            if getattr(config, "is_encoder_decoder", False):
-                raise NotImplementedError(
-                    "encoder-decoder HF towers (mt5) are not supported yet"
-                )
             self.config = config
             self.pooler_type = cfg.pooler_type or _DEFAULT_POOLER.get(
                 config.model_type, "cls_pooler"
             )
-            add_pool = self.pooler_type == "cls_pooler"
+            # encoder-decoder archs: use the encoder-only flax class (the
+            # reference takes model.encoder, hf_model.py:124-127)
+            if config.model_type in ("mt5", "t5"):
+                if config.model_type == "mt5":
+                    from transformers import FlaxMT5EncoderModel as _Cls
+                else:
+                    from transformers import FlaxT5EncoderModel as _Cls
+                kw = {}
+            elif getattr(config, "is_encoder_decoder", False):
+                raise NotImplementedError(
+                    f"encoder-decoder HF arch {config.model_type!r} has no "
+                    "flax encoder-only class"
+                )
+            else:
+                _Cls = FlaxAutoModel
+                kw = {"add_pooling_layer": self.pooler_type == "cls_pooler"}
             if cfg.hf_model_pretrained and os.path.isdir(cfg.hf_model_name):
-                self._flax = FlaxAutoModel.from_pretrained(
-                    cfg.hf_model_name, add_pooling_layer=add_pool, from_pt=None
-                )
+                self._flax = _Cls.from_pretrained(cfg.hf_model_name, from_pt=None, **kw)
             elif cfg.hf_model_pretrained and cfg.hf_model_name not in _BUNDLED_CONFIGS:
-                self._flax = FlaxAutoModel.from_pretrained(
-                    cfg.hf_model_name, add_pooling_layer=add_pool
-                )
+                self._flax = _Cls.from_pretrained(cfg.hf_model_name, **kw)
             else:
                 if cfg.hf_model_pretrained:
                     raise RuntimeError(
@@ -125,8 +144,8 @@ class HFTextTower:
                         "available offline — pass a local HF directory path as "
                         "hf_model_name, or set hf_model_pretrained=false"
                     )
-                self._flax = FlaxAutoModel.from_config(config, add_pooling_layer=add_pool)
-        self.width = getattr(config, "hidden_size", getattr(config, "d_model", None))
+                self._flax = _Cls.from_config(config, **kw)
+        self.width = getattr(config, "hidden_size", None) or getattr(config, "d_model", None)
         self.vocab_size = getattr(config, "vocab_size", 0)
         self.context_length = getattr(config, "max_position_embeddings", 0)
 
