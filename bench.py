@@ -146,7 +146,9 @@ def main():
     opt_state = tx.init(params)
     step = make_train_step(
         model, tx, mesh,
-        TrainStepCfg(precision="bf16", accum_freq=1, grad_checkpointing=False, local_loss=True),
+        TrainStepCfg(precision="bf16", accum_freq=1,
+                     grad_checkpointing=os.environ.get("BENCH_REMAT") == "1",
+                     local_loss=True),
     )
 
     global_batch = per_chip_batch * n_chips
