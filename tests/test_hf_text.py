@@ -205,3 +205,40 @@ def test_hf_mt5_encoder_tower(tmp_path):
         want = ((out.last_hidden_state * m).sum(1) / m.sum(1)).numpy()
     got = np.asarray(tower.apply(params, ids))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_hf_tower_through_train_step():
+    """An HF-text CLIP trains through the real shard_map step: finite loss,
+    flax transformer params updated by AdamW (wd-mask over flax naming)."""
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    d = {
+        "embed_dim": 24,
+        "vision_cfg": {"image_size": 32, "layers": 1, "width": 32, "patch_size": 16,
+                       "head_width": 8},
+        "text_cfg": {
+            "hf_model_name": "tiny-bert-step",
+            "hf_model_pretrained": False,
+            "hf_pooler_type": "mean_pooler",
+            "hf_proj_type": "linear",
+            "hf_model_config": TINY_BERT,
+        },
+    }
+    model = CLIPModel(clip_cfg_from_dict(d))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 10), weight_decay=0.1)
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+
+    n = jax.device_count()
+    ids = np.tile(_ids(n=2), (n, 1))
+    imgs = np.random.RandomState(2).randn(2 * n, 32, 32, 3).astype(np.float32)
+    before = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(params["text"]["hf"])]
+    batch = shard_batch(mesh, {"images": imgs, "texts": ids})
+    params2, _, _, metrics = step(params, state, tx.init(params), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(params2["text"]["hf"])]
+    assert max(float(np.abs(a - b).max()) for a, b in zip(after, before)) > 0.0
