@@ -458,6 +458,12 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     if isinstance(model, CoCaModel):
         return coca_params_to_state_dict(model, params)
     cfg = model.cfg
+    if getattr(cfg, "is_hf_text", False):
+        raise NotImplementedError(
+            "open_clip state-dict export for HF-text towers is not implemented "
+            "(flax->torch transformer naming); use the native .npz format "
+            "(--native-ckpt)"
+        )
     p = flatten_pytree(jax.device_get(params))
     s = flatten_pytree(jax.device_get(state))
     sd: Dict[str, np.ndarray] = {}

@@ -139,7 +139,12 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
 
 def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag: str = "") -> None:
     name = f"epoch_{epoch}{step_tag}"
-    if args.torch_compat_ckpt:
+    # HF-text towers: no open_clip export (flax->torch transformer naming
+    # unimplemented); the native format round-trips their params losslessly
+    torch_compat = args.torch_compat_ckpt and not getattr(model.cfg, "is_hf_text", False)
+    if args.torch_compat_ckpt and not torch_compat:
+        logging.warning("HF-text models save in the native .npz format")
+    if torch_compat:
         from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
         save_open_clip_checkpoint(
@@ -155,13 +160,21 @@ def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag:
         )
     if args.save_most_recent:
         # atomic latest (reference main.py:478-483)
-        from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
+        if torch_compat:
+            from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
-        tmp = os.path.join(args.checkpoint_path, "tmp.pt")
-        save_open_clip_checkpoint(
-            tmp, model, params, state, epoch=epoch, name=args.name, opt_state=opt_state
-        )
-        os.replace(tmp, os.path.join(args.checkpoint_path, LATEST_CHECKPOINT_NAME))
+            tmp = os.path.join(args.checkpoint_path, "tmp.pt")
+            save_open_clip_checkpoint(
+                tmp, model, params, state, epoch=epoch, name=args.name, opt_state=opt_state
+            )
+            os.replace(tmp, os.path.join(args.checkpoint_path, LATEST_CHECKPOINT_NAME))
+        else:
+            from xclip_tpu.core.checkpoint import save_native
+
+            tmp = os.path.join(args.checkpoint_path, "tmp.npz")
+            save_native(tmp, params, state, extras={"epoch": epoch, "name": args.name},
+                        opt_state=opt_state)
+            os.replace(tmp, os.path.join(args.checkpoint_path, "epoch_latest.npz"))
 
 
 def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info,
