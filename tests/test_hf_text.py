@@ -242,3 +242,68 @@ def test_hf_tower_through_train_step():
     assert np.isfinite(float(metrics["loss"]))
     after = [np.asarray(x) for x in jax.tree_util.tree_leaves(params2["text"]["hf"])]
     assert max(float(np.abs(a - b).max()) for a, b in zip(after, before)) > 0.0
+
+
+def test_hf_clip_open_clip_checkpoint_roundtrip(tmp_path):
+    """Full checkpoint parity for HF-text CLIPs: export to the CustomTextCLIP
+    torch layout (text.transformer.* via flax->torch conversion), strict-load
+    into the reference torch CustomTextCLIP, and load the same sd back into
+    our model with identical encode_text outputs."""
+    import torch
+
+    from xclip_tpu.core.checkpoint import (
+        open_clip_state_dict_to_pytrees,
+        pytrees_to_open_clip_state_dict,
+    )
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    d = {
+        "embed_dim": 24,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16,
+                       "head_width": 8},
+        "text_cfg": {
+            "hf_model_name": "tiny-bert-ckpt",
+            "hf_model_pretrained": False,
+            "hf_pooler_type": "mean_pooler",
+            "hf_proj_type": "mlp",
+            "hf_model_config": TINY_BERT,
+        },
+    }
+    model = CLIPModel(clip_cfg_from_dict(d))
+    params, state = model.init(jax.random.PRNGKey(1))
+    sd = pytrees_to_open_clip_state_dict(model, params, state)
+    assert any(k.startswith("text.transformer.") for k in sd)
+    assert "text.proj.0.weight" in sd and "visual.proj" in sd
+
+    # sd -> our params: encode_text must be identical
+    params2, _ = open_clip_state_dict_to_pytrees(sd, model)
+    ids = _ids()
+    f1, _ = model.encode_text(params, ids, normalize=True)
+    f2, _ = model.encode_text(params2, ids, normalize=True)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-5, rtol=1e-5)
+
+    if HAS_REFERENCE:
+        from ref_compat import import_reference_open_clip
+
+        import_reference_open_clip()
+        from transformers import AutoConfig
+
+        # constructing the reference CustomTextCLIP needs AutoConfig hub
+        # lookups; build the HFTextEncoder directly and load the text.* keys
+        from open_clip.hf_model import HFTextEncoder
+
+        config = AutoConfig.for_model(**TINY_BERT)
+        tref = HFTextEncoder("", output_dim=24, config=config,
+                             pooler_type="mean_pooler", proj_type="mlp", pretrained=False)
+        tref.eval()
+        text_sd = {k[len("text."):]: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in sd.items() if k.startswith("text.")}
+        # reference's config-built branch keeps the (unused-by-mean-pooling)
+        # BERT pooler module (hf_model.py:131: no add_pooling_layer arg)
+        missing, unexpected = tref.load_state_dict(text_sd, strict=False)
+        assert all("pooler" in k for k in missing), missing
+        assert not unexpected, unexpected
+        with torch.no_grad():
+            want = tref(torch.from_numpy(ids.astype(np.int64))).numpy()
+        got = np.asarray(model.encode_text(params, ids)[0])
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)

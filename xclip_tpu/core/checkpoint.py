@@ -386,6 +386,15 @@ def build_model_from_state_dict(path_or_sd, quick_gelu: bool = True):
     return model, params, state
 
 
+def _map_clip_text(pflat, sd, cfg) -> None:
+    pflat["text" + SEP + "token_embedding"] = sd["token_embedding.weight"]
+    pflat["text" + SEP + "positional_embedding"] = sd["positional_embedding"]
+    pflat["text" + SEP + "text_projection"] = sd["text_projection"]
+    _map_ln(pflat, sd, "text" + SEP + "ln_final", "ln_final")
+    for i in range(cfg.text.layers):
+        _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"transformer.resblocks.{i}", cfg.text.width)
+
+
 def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[Dict, Dict]:
     """Map an open_clip/OpenAI CLIP state dict onto ``model``'s param/state
     pytrees. ``model`` is a :class:`~xclip_tpu.models.clip.CLIPModel`."""
@@ -394,13 +403,15 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
     pflat: Dict[str, np.ndarray] = {}
     sflat: Dict[str, np.ndarray] = {}
 
-    # --- text tower (inline keys, reference CLIP layout) ---
-    pflat["text" + SEP + "token_embedding"] = sd["token_embedding.weight"]
-    pflat["text" + SEP + "positional_embedding"] = sd["positional_embedding"]
-    pflat["text" + SEP + "text_projection"] = sd["text_projection"]
-    _map_ln(pflat, sd, "text" + SEP + "ln_final", "ln_final")
-    for i in range(cfg.text.layers):
-        _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"transformer.resblocks.{i}", cfg.text.width)
+    hf_text = getattr(cfg, "is_hf_text", False)
+    if hf_text:
+        # CustomTextCLIP "text.*" layout; tower params converted torch->flax
+        # by the hf bridge, merged after unflatten below
+        pass
+    else:
+        # --- text tower (inline keys, reference CLIP layout) ---
+        _map_clip_text(pflat, sd, cfg)
+
     pflat["logit_scale"] = np.asarray(sd["logit_scale"], np.float32).reshape(())
     if "logit_bias" in sd:
         pflat["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
@@ -445,7 +456,23 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
             _map_attn_pooler(pflat, sd, cfg.embed_dim)
 
     params0, state0 = model.init(jax.random.PRNGKey(0))
-    params = unflatten_into(params0, pflat)
+    if hf_text:
+        # keep randomly-initialized text params in the flat template, then
+        # overwrite wholesale from the converted torch state dict
+        for k in list(pflat):
+            if k.startswith("text" + SEP):
+                del pflat[k]
+        from xclip_tpu.models.clip import _hf_tower
+        from xclip_tpu.models.hf_text import hf_text_state_dict_to_params
+
+        text_params = hf_text_state_dict_to_params(_hf_tower(cfg.text), sd)
+        params = unflatten_into(
+            {k: v for k, v in params0.items() if k != "text"},
+            {k: v for k, v in pflat.items()},
+        )
+        params["text"] = text_params
+    else:
+        params = unflatten_into(params0, pflat)
     state = unflatten_into(state0, sflat) if sflat else state0
     return params, state
 
@@ -458,13 +485,9 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     if isinstance(model, CoCaModel):
         return coca_params_to_state_dict(model, params)
     cfg = model.cfg
-    if getattr(cfg, "is_hf_text", False):
-        raise NotImplementedError(
-            "open_clip state-dict export for HF-text towers is not implemented "
-            "(flax->torch transformer naming); use the native .npz format "
-            "(--native-ckpt)"
-        )
-    p = flatten_pytree(jax.device_get(params))
+    hf_text = getattr(cfg, "is_hf_text", False)
+    nested = jax.device_get(params)
+    p = flatten_pytree({k: v for k, v in nested.items() if not (hf_text and k == "text")})
     s = flatten_pytree(jax.device_get(state))
     sd: Dict[str, np.ndarray] = {}
 
@@ -500,12 +523,20 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
             if f"{src}{SEP}{ls}" in p:
                 sd[f"{dst}.{ls}.gamma"] = p[f"{src}{SEP}{ls}"]
 
-    sd["token_embedding.weight"] = p[f"text{SEP}token_embedding"]
-    sd["positional_embedding"] = p[f"text{SEP}positional_embedding"]
-    sd["text_projection"] = p[f"text{SEP}text_projection"]
-    put_ln("ln_final", f"text{SEP}ln_final")
-    for i in range(cfg.text.layers):
-        put_block(f"transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
+    if hf_text:
+        # CustomTextCLIP layout: "text.transformer.*" via the flax->torch
+        # conversion + "text.proj[.N].weight" (hf bridge)
+        from xclip_tpu.models.clip import _hf_tower
+        from xclip_tpu.models.hf_text import hf_text_params_to_state_dict
+
+        sd.update(hf_text_params_to_state_dict(_hf_tower(cfg.text), nested["text"]))
+    else:
+        sd["token_embedding.weight"] = p[f"text{SEP}token_embedding"]
+        sd["positional_embedding"] = p[f"text{SEP}positional_embedding"]
+        sd["text_projection"] = p[f"text{SEP}text_projection"]
+        put_ln("ln_final", f"text{SEP}ln_final")
+        for i in range(cfg.text.layers):
+            put_block(f"transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
     sd["logit_scale"] = p["logit_scale"].reshape(())
     if "logit_bias" in p:
         sd["logit_bias"] = p["logit_bias"].reshape(())

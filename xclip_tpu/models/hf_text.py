@@ -203,6 +203,66 @@ class HFTextTower:
         return L.linear_apply(p["fc2"], h)
 
 
+def _torch_shell(tower: "HFTextTower"):
+    """Matching torch module for conversion (same config/class family)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if tower.config.model_type in ("mt5", "t5"):
+            from transformers import MT5EncoderModel, T5EncoderModel
+
+            cls = MT5EncoderModel if tower.config.model_type == "mt5" else T5EncoderModel
+            return cls(tower.config)
+        from transformers import AutoModel
+
+        return AutoModel.from_config(
+            tower.config, add_pooling_layer=tower.pooler_type == "cls_pooler"
+        )
+
+
+def hf_text_params_to_state_dict(tower: HFTextTower, params: Dict) -> Dict[str, np.ndarray]:
+    """Our params -> the reference CustomTextCLIP text-tower state dict
+    ("text.transformer.*" torch naming via transformers' flax->torch
+    conversion; "text.proj[.N].weight" for the projection,
+    hf_model.py:140-152)."""
+    from transformers.modeling_flax_pytorch_utils import load_flax_weights_in_pytorch_model
+
+    tm = _torch_shell(tower)
+    load_flax_weights_in_pytorch_model(tm, dict(params["hf"]))
+    sd = {f"text.transformer.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    if "proj" in params:
+        p = params["proj"]
+        if "linear" in p:
+            sd["text.proj.weight"] = np.asarray(p["linear"]["kernel"]).T
+        else:
+            sd["text.proj.0.weight"] = np.asarray(p["fc1"]["kernel"]).T
+            sd["text.proj.2.weight"] = np.asarray(p["fc2"]["kernel"]).T
+    return sd
+
+
+def hf_text_state_dict_to_params(tower: HFTextTower, sd: Dict[str, np.ndarray]) -> Dict:
+    """Inverse: a reference CustomTextCLIP "text.*" state dict -> our param
+    pytree (torch->flax via transformers' converter)."""
+    import torch
+    from transformers.modeling_flax_pytorch_utils import convert_pytorch_state_dict_to_flax
+
+    prefix = "text.transformer."
+    pt_sd = {k[len(prefix):]: torch.as_tensor(np.ascontiguousarray(v))
+             for k, v in sd.items() if k.startswith(prefix)}
+    flax_params = convert_pytorch_state_dict_to_flax(pt_sd, tower._flax)
+    flax_params = jax.tree_util.tree_map(jnp.asarray, dict(flax_params))
+    params: Dict = {"hf": flax_params}
+    if "text.proj.weight" in sd:
+        params["proj"] = {"linear": {"kernel": jnp.asarray(np.asarray(sd["text.proj.weight"]).T)}}
+    elif "text.proj.0.weight" in sd:
+        params["proj"] = {
+            "fc1": {"kernel": jnp.asarray(np.asarray(sd["text.proj.0.weight"]).T)},
+            "fc2": {"kernel": jnp.asarray(np.asarray(sd["text.proj.2.weight"]).T)},
+        }
+    return params
+
+
 def hf_text_cfg_from_dict(t: dict, embed_dim: int) -> HFTextCfg:
     """text_cfg dict with hf_model_name -> HFTextCfg (reference
     _build_text_tower, model.py:375-392)."""

@@ -139,11 +139,7 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer) -> Dict:
 
 def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag: str = "") -> None:
     name = f"epoch_{epoch}{step_tag}"
-    # HF-text towers: no open_clip export (flax->torch transformer naming
-    # unimplemented); the native format round-trips their params losslessly
-    torch_compat = args.torch_compat_ckpt and not getattr(model.cfg, "is_hf_text", False)
-    if args.torch_compat_ckpt and not torch_compat:
-        logging.warning("HF-text models save in the native .npz format")
+    torch_compat = args.torch_compat_ckpt
     if torch_compat:
         from xclip_tpu.core.checkpoint import save_open_clip_checkpoint
 
