@@ -403,12 +403,10 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
     pflat: Dict[str, np.ndarray] = {}
     sflat: Dict[str, np.ndarray] = {}
 
+    # HF-text models use the CustomTextCLIP "text.*" layout instead — their
+    # tower params are converted torch->flax and merged after unflatten
     hf_text = getattr(cfg, "is_hf_text", False)
-    if hf_text:
-        # CustomTextCLIP "text.*" layout; tower params converted torch->flax
-        # by the hf bridge, merged after unflatten below
-        pass
-    else:
+    if not hf_text:
         # --- text tower (inline keys, reference CLIP layout) ---
         _map_clip_text(pflat, sd, cfg)
 
