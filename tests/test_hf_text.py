@@ -94,7 +94,9 @@ def test_clip_model_with_hf_text_tower():
         },
     }
     cfg = clip_cfg_from_dict(d)
-    assert cfg.is_hf_text and cfg.context_length == 32
+    # context_length is the reference's text_cfg padding length (default 77,
+    # factory.py:110-111), NOT the HF model's max_position_embeddings (32 here)
+    assert cfg.is_hf_text and cfg.context_length == 77
     model = CLIPModel(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     assert "hf" in params["text"] and "proj" in params["text"]
@@ -242,6 +244,58 @@ def test_hf_tower_through_train_step():
     assert np.isfinite(float(metrics["loss"]))
     after = [np.asarray(x) for x in jax.tree_util.tree_leaves(params2["text"]["hf"])]
     assert max(float(np.abs(a - b).max()) for a, b in zip(after, before)) > 0.0
+
+
+def test_hf_pretrained_clip_checkpoint_disables_hub_weights(tmp_path):
+    """Factory parity with reference factory.py:257: when a CLIP checkpoint
+    is passed as ``pretrained``, hf_model_pretrained is forced off so the
+    tower builds from config and the checkpoint supplies the weights.
+    (Round-2 advisor high: roberta-ViT-B-32 + pretrained raised at init.)"""
+    import torch
+
+    import xclip_tpu.models.factory as F
+    from xclip_tpu.core.checkpoint import pytrees_to_open_clip_state_dict
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    name = "TinyHFPretrainedTest"
+    d = {
+        "embed_dim": 24,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16,
+                       "head_width": 8},
+        "text_cfg": {
+            # hf_model_pretrained deliberately ABSENT -> defaults True, which
+            # is unloadable offline; the pretrained= path must override it
+            "hf_model_name": "tiny-bert-pretrained-test",
+            "hf_pooler_type": "mean_pooler",
+            "hf_proj_type": "mlp",
+            "hf_model_config": TINY_BERT,
+        },
+    }
+    F._MODEL_CONFIGS[name] = d
+    try:
+        # produce an open_clip-format .pt from a random-init twin
+        src = dict(d)
+        src["text_cfg"] = dict(d["text_cfg"], hf_model_pretrained=False)
+        twin = CLIPModel(clip_cfg_from_dict(src))
+        tparams, tstate = twin.init(jax.random.PRNGKey(3))
+        sd = pytrees_to_open_clip_state_dict(twin, tparams, tstate)
+        ckpt = tmp_path / "tiny_hf.pt"
+        torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                                   for k, v in sd.items()}}, ckpt)
+
+        # the round-2 failure mode: this raised RuntimeError during init
+        model, params, _ = F.create_model(name, pretrained=str(ckpt))
+        ids = _ids()
+        want, _ = twin.encode_text(tparams, ids, normalize=True)
+        got, _ = model.encode_text(params, ids, normalize=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+        # without a checkpoint, pretrained_hf=True still (correctly) refuses
+        # offline, and pretrained_hf=False builds from config
+        model2, params2, _ = F.create_model(name, pretrained_hf=False)
+        assert "hf" in params2["text"]
+    finally:
+        del F._MODEL_CONFIGS[name]
 
 
 def test_hf_clip_open_clip_checkpoint_roundtrip(tmp_path):

@@ -51,10 +51,9 @@ class CLIPCfg:
 
     @property
     def context_length(self) -> int:
-        if self.is_hf_text:
-            from xclip_tpu.models.clip import _hf_tower
-
-            return _hf_tower(self.text).context_length
+        # both TextTransformerCfg and HFTextCfg carry context_length; for HF
+        # towers it is the 77-token padding length (reference factory.py:110),
+        # not the HF model's max_position_embeddings
         return self.text.context_length
 
 

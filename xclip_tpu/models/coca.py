@@ -189,8 +189,9 @@ class CoCaModel:
         }
 
     # -- towers -----------------------------------------------------------------
-    def encode_image_with_tokens(self, params, images, *, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """-> (normalized latent (B, E), pooled token embs (B, n_queries-? , E)).
+    def encode_image_with_tokens(self, params, images, *, dtype=None,
+                                 normalize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (latent (B, E), pooled token embs (B, n_queries-? , E)).
 
         Reference VisionTransformer with attn_pool (transformer.py:615-629):
         x = attn_pool(transformer_out); ln_post; pooled = x[:,0],
@@ -207,10 +208,12 @@ class CoCaModel:
         pooled_all = L.layernorm_apply(params["visual"]["ln_post"], pooled_all)
         pooled, tok_embs = pooled_all[:, 0], pooled_all[:, 1:]
         latent = jnp.dot(pooled.astype(jnp.float32), params["visual"]["proj"].astype(jnp.float32))
-        latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
+        if normalize:
+            latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
         return latent, tok_embs
 
-    def encode_text_with_tokens(self, params, text_ids, *, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def encode_text_with_tokens(self, params, text_ids, *, dtype=None,
+                                normalize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """cls-token text tower (transformer.py:768-802): append cls emb,
         causal mask + pad cls-mask, 'last' pooling, ln_final after pooling."""
         cfg = self.cfg.text
@@ -235,7 +238,8 @@ class CoCaModel:
         pooled, tokens = x[:, -1], x[:, :-1]
         pooled = L.layernorm_apply(p["ln_final"], pooled)
         latent = jnp.dot(pooled.astype(jnp.float32), p["text_projection"].astype(jnp.float32))
-        latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
+        if normalize:
+            latent = latent / jnp.maximum(jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
         return latent, tokens
 
     def decode(self, params, image_embs, token_embs, *, dtype=None) -> jnp.ndarray:
@@ -274,11 +278,13 @@ class CoCaModel:
     def encode_image(self, params, images, *, state=None, normalize: bool = True,
                      dtype=None, train: bool = False, rng=None, capture=None, remat=False):
         del state, train, rng, capture, remat  # stateless towers
-        latent, _ = self.encode_image_with_tokens(params, images, dtype=dtype)
+        latent, _ = self.encode_image_with_tokens(params, images, dtype=dtype,
+                                                  normalize=normalize)
         return latent, {}, {}
 
     def encode_text(self, params, text_ids, *, normalize: bool = True, dtype=None):
-        latent, _ = self.encode_text_with_tokens(params, text_ids, dtype=dtype)
+        latent, _ = self.encode_text_with_tokens(params, text_ids, dtype=dtype,
+                                                 normalize=normalize)
         return latent, {}
 
     # -- generation ---------------------------------------------------------------

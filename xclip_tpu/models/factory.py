@@ -49,6 +49,7 @@ def get_clip_cfg(
     force_quick_gelu: bool = False,
     force_image_size: Optional[int] = None,
     force_patch_dropout: Optional[float] = None,
+    load_hf_weights: Optional[bool] = None,
 ) -> CLIPCfg:
     cfg = get_model_config(model_name)
     if cfg is None:
@@ -59,6 +60,10 @@ def get_clip_cfg(
         cfg["vision_cfg"]["image_size"] = force_image_size
     if force_patch_dropout is not None:
         cfg["vision_cfg"]["patch_dropout"] = force_patch_dropout
+    if load_hf_weights is not None and "hf_model_name" in cfg["text_cfg"]:
+        # reference factory.py:257: hf_model_pretrained = pretrained_hf and
+        # not pretrained — a CLIP checkpoint supersedes HF-hub tower weights
+        cfg["text_cfg"]["hf_model_pretrained"] = bool(load_hf_weights)
     return clip_cfg_from_dict(cfg, quick_gelu=quick_gelu)
 
 
@@ -95,6 +100,7 @@ def create_model(
     force_quick_gelu: bool = False,
     force_image_size: Optional[int] = None,
     force_patch_dropout: Optional[float] = None,
+    pretrained_hf: bool = True,
     seed: int = 0,
 ) -> Tuple[CLIPModel, Dict, Dict]:
     """Create a model. ``pretrained`` may be a path to a torch ``.pt``
@@ -102,7 +108,10 @@ def create_model(
     framework. Returns (model, params, state). CoCa configs dispatch to
     :func:`create_coca_model` (which returns (model, params)). With
     ``force_image_size``, pretrained ViT positional embeddings are resized
-    to the new grid (the reference's resize_pos_embed, model.py:523-553)."""
+    to the new grid (the reference's resize_pos_embed, model.py:523-553).
+    ``pretrained_hf`` mirrors the reference's --hf-model-pretrained: HF-hub
+    tower weights load only when no CLIP checkpoint is given
+    (factory.py:257)."""
     if is_coca_model(model_name):
         if force_image_size or force_patch_dropout:
             raise ValueError("--force-image-size/--force-patch-dropout are not "
@@ -114,7 +123,9 @@ def create_model(
         if policy.param_dtype != params["logit_scale"].dtype:
             params = jax.tree_util.tree_map(lambda p: p.astype(policy.param_dtype), params)
         return model, params, {}
-    model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu, force_image_size, force_patch_dropout))
+    load_hf_weights = pretrained_hf and not pretrained
+    model = CLIPModel(get_clip_cfg(model_name, force_quick_gelu, force_image_size,
+                                   force_patch_dropout, load_hf_weights=load_hf_weights))
     params, state = model.init(jax.random.PRNGKey(seed))
     if pretrained:
         from xclip_tpu.core.checkpoint import load_checkpoint
@@ -139,6 +150,7 @@ def create_model_and_transforms(
     force_quick_gelu: bool = False,
     force_image_size: Optional[int] = None,
     force_patch_dropout: Optional[float] = None,
+    pretrained_hf: bool = True,
     seed: int = 0,
 ):
     """Returns (model, params, state, preprocess_train, preprocess_val)."""
@@ -147,7 +159,8 @@ def create_model_and_transforms(
     model, params, state = create_model(
         model_name, pretrained=pretrained, precision=precision,
         force_quick_gelu=force_quick_gelu, force_image_size=force_image_size,
-        force_patch_dropout=force_patch_dropout, seed=seed,
+        force_patch_dropout=force_patch_dropout, pretrained_hf=pretrained_hf,
+        seed=seed,
     )
     image_size = model.cfg.image_size
     return (

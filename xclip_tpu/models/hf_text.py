@@ -79,6 +79,11 @@ class HFTextCfg:
     pooler_type: Optional[str] = None
     proj_type: Optional[str] = "mlp"  # reference hf_proj_type default
     hf_config_json: Optional[str] = None  # explicit config dict (offline)
+    # tokenizer/eval padding length — the reference pads HF-tower batches to
+    # text_cfg context_length (default 77, factory.py:110-111), NOT to the HF
+    # model's max_position_embeddings (514 for roberta) — see
+    # HFTextTower.max_positions for the latter.
+    context_length: int = 77
 
     @property
     def is_hf(self) -> bool:  # cheap discriminator for CLIPModel dispatch
@@ -147,7 +152,9 @@ class HFTextTower:
                 self._flax = _Cls.from_config(config, **kw)
         self.width = getattr(config, "hidden_size", None) or getattr(config, "d_model", None)
         self.vocab_size = getattr(config, "vocab_size", 0)
-        self.context_length = getattr(config, "max_position_embeddings", 0)
+        # model capacity; batches are padded to cfg.context_length (77), not this
+        self.max_positions = getattr(config, "max_position_embeddings", 0)
+        self.context_length = cfg.context_length
 
     # -- params --------------------------------------------------------------
     def init(self, rng) -> Dict:
@@ -273,4 +280,5 @@ def hf_text_cfg_from_dict(t: dict, embed_dim: int) -> HFTextCfg:
         pooler_type=t.get("hf_pooler_type"),
         proj_type=t.get("hf_proj_type", "mlp"),
         hf_config_json=json.dumps(t["hf_model_config"]) if t.get("hf_model_config") else None,
+        context_length=int(t.get("context_length", 77)),
     )

@@ -41,6 +41,10 @@ def _interpret() -> bool:
 
 def _pick_tile_m(m: int, limit: int = 1024) -> int:
     """Largest divisor of m that is <= limit and a multiple of 8."""
+    if m % 8 != 0:
+        # grid = m // tm would silently leave the last m % tm rows
+        # uninitialized (round-2 advisor finding)
+        raise ValueError(f"fused-conv kernels need M = N*H*W divisible by 8; got {m}")
     best = 8
     for t in range(8, limit + 1, 8):
         if m % t == 0:

@@ -40,7 +40,9 @@ class TrainStepCfg:
     gather_with_grad: bool = True
     grad_checkpointing: bool = False
     accum_freq: int = 1
-    grad_clip_norm: float = 0.0
+    # NOTE: gradient clipping lives in the optimizer (optim.adamw's
+    # grad_clip_norm arg wraps optax.clip_by_global_norm) — there is
+    # deliberately no clip field here
     siglip: bool = False  # sigmoid pairwise loss with ppermute ring
     seed: int = 0  # base seed for in-step randomness (patch dropout)
     # CoCa training (reference CoCaLoss, open_clip/loss.py:134-177)
