@@ -172,8 +172,10 @@ class TestTowerVariants:
 def test_config_zoo_matches_reference():
     """Every shipped model config parses, and any same-named reference config
     must agree field-for-field (reference pattern: tests/util_test.py's
-    per-config model coverage). ViT-B-16-SigLIP is the documented exception
-    (timm tower replaced by a plain ViT)."""
+    per-config model coverage). Architecture substitutions must NOT squat on
+    reference names: e.g. the SigLIP-style plain-ViT config is shipped as
+    ViT-B-16-SigLIP-xclip, not ViT-B-16-SigLIP (whose reference definition
+    is a timm tower)."""
     import json
 
     cfg_dir = os.path.join(os.path.dirname(__file__), "..", "xclip_tpu", "models", "configs")
@@ -187,7 +189,7 @@ def test_config_zoo_matches_reference():
             cfg = clip_cfg_from_dict(d, quick_gelu=bool(d.get("quick_gelu", False)))
             assert cfg.embed_dim == d["embed_dim"]
         ref_path = os.path.join(ref_dir, fname)
-        if fname != "ViT-B-16-SigLIP.json" and os.path.exists(ref_path):
+        if os.path.exists(ref_path):
             with open(ref_path) as fh:
                 assert d == json.load(fh), fname
 

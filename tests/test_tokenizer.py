@@ -136,3 +136,50 @@ class TestMaskTokenize:
         assert out2[0] == tok.sot_token_id
         assert out2[-1] == tok.eot_token_id
         assert all(t != 0 for t in out2)
+
+
+class TestSigLipTokenizer:
+    def _tiny_t5_dir(self, tmp_path):
+        """Build a tiny T5-style fast tokenizer offline (Unigram via the
+        tokenizers lib; sentencepiece itself is absent from this image)."""
+        from tokenizers import Tokenizer, decoders, pre_tokenizers
+        from tokenizers.models import Unigram
+        from transformers import T5TokenizerFast
+
+        vocab = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", -2.0),
+                 ("▁a", -1.0), ("▁photo", -1.0), ("▁of", -1.0),
+                 ("▁cat", -1.0), ("▁dog", -1.5), ("a", -3.0),
+                 ("t", -3.0), ("o", -3.0), ("c", -3.0), ("d", -3.0),
+                 ("g", -3.0), ("▁", -3.5), ("h", -3.0), ("p", -3.0),
+                 ("f", -3.0), ("e", -3.0), ("i", -3.0), ("n", -3.0)]
+        tok = Tokenizer(Unigram(vocab, unk_id=2))
+        tok.pre_tokenizer = pre_tokenizers.Metaspace()
+        tok.decoder = decoders.Metaspace()
+        fast = T5TokenizerFast(tokenizer_object=tok,
+                               unk_token="<unk>", eos_token="</s>", pad_token="<pad>")
+        d = tmp_path / "t5tok"
+        fast.save_pretrained(d)
+        return str(d)
+
+    def test_siglip_tokenizer(self, tmp_path):
+        """Reference SigLipTokenizer semantics (tokenizer.py:463-520):
+        canonicalize cleaning (lowercase, punctuation stripped), pad/eos
+        forced to id 1, max_length padding, int32 output."""
+        from xclip_tpu.tokenizer import SigLipTokenizer
+
+        tok = SigLipTokenizer(self._tiny_t5_dir(tmp_path), context_length=16)
+        assert tok.tokenizer.pad_token_id == 1 and tok.tokenizer.eos_token_id == 1
+        out = tok(["A Photo, of a CAT!", "a photo of a cat"])
+        assert out.shape == (2, 16) and out.dtype == np.int32
+        # canonicalize makes the two rows identical
+        np.testing.assert_array_equal(out[0], out[1])
+
+        # single-string input and per-call context_length override
+        one = tok("a photo of a dog", context_length=8)
+        assert one.shape == (1, 8)
+
+    def test_siglip_tokenizer_offline_error(self):
+        from xclip_tpu.tokenizer import SigLipTokenizer
+
+        with pytest.raises(RuntimeError, match="zero-egress"):
+            SigLipTokenizer("some-hub-name-that-does-not-exist")

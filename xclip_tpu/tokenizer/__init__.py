@@ -4,6 +4,7 @@ from xclip_tpu.tokenizer.bpe import (  # noqa: F401
     basic_clean,
     canonicalize_text,
     decode,
+    get_clean_fn,
     get_tokenizer,
     random_mask_tokenize,
     simple_mask_tokenize,
@@ -11,3 +12,4 @@ from xclip_tpu.tokenizer.bpe import (  # noqa: F401
     tokenize,
     whitespace_clean,
 )
+from xclip_tpu.tokenizer.hf import HFTokenizer, SigLipTokenizer  # noqa: F401

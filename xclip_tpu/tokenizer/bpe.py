@@ -98,6 +98,10 @@ def _get_clean_fn(kind: str):
     raise ValueError(f"invalid clean function {kind!r}")
 
 
+# public name matching the reference (tokenizer.py:93-101)
+get_clean_fn = _get_clean_fn
+
+
 def _adjacent_pairs(word: Sequence[str]) -> set:
     return set(zip(word[:-1], word[1:]))
 
@@ -360,20 +364,25 @@ def decode(token_ids) -> str:
 
 def get_tokenizer(model_name: str = "", context_length: Optional[int] = None, **kwargs):
     """Tokenizer factory keyed by model name (mirrors open_clip
-    factory.get_tokenizer): configs with an ``hf_tokenizer_name`` resolve a
-    HuggingFace tokenizer (requires the tokenizer files locally — zero
-    egress); everything else uses the CLIP BPE."""
-    hf_name = None
+    factory.get_tokenizer:84-126): configs with an ``hf_tokenizer_name``
+    resolve a HuggingFace tokenizer (requires the tokenizer files locally —
+    zero egress); everything else uses the CLIP BPE. ``tokenizer_kwargs``
+    from the config's text_cfg (e.g. SigLIP's clean="canonicalize") merge
+    under explicit kwargs."""
+    text_cfg = {}
     if model_name:
         try:
             from xclip_tpu.models.factory import get_model_config
 
-            cfg = get_model_config(model_name)
-            hf_name = (cfg or {}).get("text_cfg", {}).get("hf_tokenizer_name")
+            text_cfg = (get_model_config(model_name) or {}).get("text_cfg", {})
         except Exception:
-            hf_name = None
-    if hf_name:
+            text_cfg = {}
+    tokenizer_kwargs = dict(text_cfg.get("tokenizer_kwargs", {}), **kwargs)
+    if context_length is None:
+        context_length = text_cfg.get("context_length", DEFAULT_CONTEXT_LENGTH)
+    if text_cfg.get("hf_tokenizer_name"):
         from xclip_tpu.tokenizer.hf import HFTokenizer
 
-        return HFTokenizer(hf_name, context_length=context_length or DEFAULT_CONTEXT_LENGTH)
-    return SimpleTokenizer(context_length=context_length or DEFAULT_CONTEXT_LENGTH, **kwargs)
+        return HFTokenizer(text_cfg["hf_tokenizer_name"],
+                           context_length=context_length, **tokenizer_kwargs)
+    return SimpleTokenizer(context_length=context_length, **tokenizer_kwargs)
