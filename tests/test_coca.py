@@ -339,3 +339,222 @@ def test_coca_export_bridge_roundtrip():
     missing = [k for k in missing if "attn_mask" not in k]
     assert not missing, missing
     assert not unexpected, unexpected
+
+
+# ---------------------------------------------------------------------------
+# coca_base-style (no attentional pool) and coca_roberta-style (HF text tower)
+
+
+SMALL_COCA_BASE = {
+    # tiny coca_base.json shape family: NO attentional pool — cls-tok pooling
+    # with ln_post over the full sequence feeding the decoder
+    # (model_configs/coca_base.json, transformer.py:636-639)
+    "embed_dim": 64,
+    "multimodal_cfg": {
+        "width": 64, "context_length": 20, "vocab_size": 640, "mlp_ratio": 4,
+        "layers": 2, "dim_head": 16, "heads": 4, "n_queries": 8,
+        "attn_pooler_heads": 4,
+    },
+    "vision_cfg": {
+        "image_size": 64, "layers": 2, "width": 64, "patch_size": 16,
+        "head_width": 16, "output_tokens": True,
+    },
+    "text_cfg": {
+        "context_length": 20, "vocab_size": 640, "layers": 2, "heads": 4,
+        "width": 64, "embed_cls": True, "output_tokens": True,
+    },
+    "custom_text": True,
+}
+
+
+def _base_inputs():
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, 64, 64, 3).astype(np.float32)
+    text = rng.randint(1, 600, size=(2, 20)).astype(np.int64)
+    text[:, 0] = 620
+    return images, text
+
+
+def test_coca_base_forward_shapes():
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA_BASE))
+    assert not model.cfg.vision.attentional_pool
+    params = model.init(jax.random.PRNGKey(0))
+    assert "attn_pool" not in params["visual"]
+    images, text = _base_inputs()
+    out = model.forward(params, images, text)
+    assert out["image_features"].shape == (2, 64)
+    assert out["logits"].shape == (2, 19, 640)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_coca_base_golden_parity():
+    """coca_base family: reference CoCa without attentional pooling — the
+    vision tokens bypass any pooler and ln_post covers the full sequence
+    (transformer.py:636-639)."""
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+
+    torch.manual_seed(0)
+    ref = open_clip.CoCa(
+        embed_dim=SMALL_COCA_BASE["embed_dim"],
+        multimodal_cfg=SMALL_COCA_BASE["multimodal_cfg"],
+        text_cfg=SMALL_COCA_BASE["text_cfg"],
+        vision_cfg=SMALL_COCA_BASE["vision_cfg"],
+    )
+    ref.eval()
+    with torch.no_grad():  # seed the reference's uninitialized projection
+        proj = ref.text_decoder.text_projection
+        proj.copy_(torch.from_numpy(
+            np.random.RandomState(7).randn(*proj.shape).astype(np.float32) * 0.02
+        ))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    assert not any("attn_pool" in k for k in sd)
+
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA_BASE))
+    params = coca_state_dict_to_params(sd, model)
+
+    images, text = _base_inputs()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(images).permute(0, 3, 1, 2), torch.from_numpy(text))
+    out = model.forward(params, images, text)
+    np.testing.assert_allclose(
+        np.asarray(out["image_features"]), ref_out["image_features"].numpy(), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_features"]), ref_out["text_features"].numpy(), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref_out["logits"].numpy(), atol=2e-3, rtol=1e-3
+    )
+
+
+TINY_ROBERTA = dict(
+    model_type="roberta", vocab_size=120, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=64, max_position_embeddings=40,
+    type_vocab_size=1, layer_norm_eps=1e-5, pad_token_id=1, bos_token_id=0,
+    eos_token_id=2,
+)
+
+# reference-facing text_cfg: valid CLIPTextCfg fields only
+ROBERTA_TEXT_CFG = {
+    "hf_model_name": "tiny-roberta-coca",
+    "hf_proj_type": "linear",
+    "hf_model_pretrained": False,
+    "width": 32,
+    "vocab_size": 640,
+    "output_tokens": True,
+}
+
+SMALL_COCA_ROBERTA = {
+    # tiny coca_roberta-ViT-B-32 shape family: HF text tower (mean pooler,
+    # linear proj) + no-attn-pool vision + decoder over the vision-width
+    # tokens (model_configs/coca_roberta-ViT-B-32.json, coca_model.py:96-121)
+    "embed_dim": 24,
+    "vision_cfg": {
+        "image_size": 64, "layers": 2, "width": 32, "patch_size": 16,
+        "head_width": 16, "output_tokens": True,
+    },
+    "text_cfg": dict(ROBERTA_TEXT_CFG, hf_model_config=TINY_ROBERTA),
+    "multimodal_cfg": {
+        "context_length": 20, "width": 32, "heads": 4, "layers": 2,
+        "vocab_size": 640,
+    },
+    "custom_text": True,
+}
+
+
+def _roberta_inputs():
+    rng = np.random.RandomState(1)
+    images = rng.randn(2, 64, 64, 3).astype(np.float32)
+    text = rng.randint(3, 119, size=(2, 20)).astype(np.int64)
+    text[0, 15:] = 1  # roberta pad id exercises the attention mask
+    return images, text
+
+
+def test_coca_roberta_forward_shapes():
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA_ROBERTA))
+    assert model.cfg.is_hf_text
+    params = model.init(jax.random.PRNGKey(0))
+    assert "hf" in params["text"]
+    images, text = _roberta_inputs()
+    out = model.forward(params, images, text)
+    assert out["image_features"].shape == out["text_features"].shape == (2, 24)
+    # decoder vocab comes from text_cfg.vocab_size (default 49408 in the
+    # real coca_roberta config; 640 here), coca_model.py:105-121
+    assert out["logits"].shape == (2, 19, 640)
+
+    # contrastive+caption loss trains: grads reach the flax text params
+    def loss_fn(p):
+        o = model.forward(p, images, text)
+        l, _ = coca_loss(o)
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["text"]["hf"]))
+    assert np.isfinite(gn) and gn > 0
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_coca_roberta_golden_parity(tmp_path):
+    """coca_roberta family: reference CoCa with an HFTextEncoder text tower
+    (hf_model.py:155-169 token semantics, mean pooler, linear proj)."""
+    from unittest import mock
+
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+    from transformers import AutoConfig
+
+    tiny_cfg = AutoConfig.for_model(**TINY_ROBERTA)
+    torch.manual_seed(0)
+    # the reference resolves hf_model_name via the hub; serve the tiny config
+    with mock.patch.object(AutoConfig, "from_pretrained", return_value=tiny_cfg):
+        ref = open_clip.CoCa(
+            embed_dim=SMALL_COCA_ROBERTA["embed_dim"],
+            multimodal_cfg=SMALL_COCA_ROBERTA["multimodal_cfg"],
+            text_cfg=ROBERTA_TEXT_CFG,
+            vision_cfg=SMALL_COCA_ROBERTA["vision_cfg"],
+        )
+    ref.eval()
+    with torch.no_grad():  # seed the reference's uninitialized projection
+        proj = ref.text_decoder.text_projection
+        proj.copy_(torch.from_numpy(
+            np.random.RandomState(7).randn(*proj.shape).astype(np.float32) * 0.02
+        ))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    assert any(k.startswith("text.transformer.") for k in sd)
+
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA_ROBERTA))
+    params = coca_state_dict_to_params(sd, model)
+
+    images, text = _roberta_inputs()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(images).permute(0, 3, 1, 2), torch.from_numpy(text))
+    out = model.forward(params, images, text)
+    np.testing.assert_allclose(
+        np.asarray(out["image_features"]), ref_out["image_features"].numpy(), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_features"]), ref_out["text_features"].numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref_out["logits"].numpy(), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_coca_full_size_configs_build():
+    """The shipped coca_base / coca_roberta-ViT-B-32 configs parse through
+    the factory into the right architectures (no weights init needed)."""
+    from xclip_tpu.models.factory import get_model_config, is_coca_model
+
+    for name in ("coca_base", "coca_roberta-ViT-B-32"):
+        assert is_coca_model(name)
+    base = coca_cfg_from_dict(get_model_config("coca_base"))
+    assert not base.vision.attentional_pool
+    assert base.decoder_vocab_size == 64000 and base.vision.image_size == 288
+    rob = coca_cfg_from_dict(get_model_config("coca_roberta-ViT-B-32"))
+    assert rob.is_hf_text and rob.decoder_vocab_size == 49408
+    assert rob.multimodal.width == 768 and not rob.vision.attentional_pool

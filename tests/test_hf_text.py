@@ -361,3 +361,161 @@ def test_hf_clip_open_clip_checkpoint_roundtrip(tmp_path):
             want = tref(torch.from_numpy(ids.astype(np.int64))).numpy()
         got = np.asarray(model.encode_text(params, ids)[0])
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# m2m_100 / nllb: native JAX encoder (transformers ships no flax M2M100)
+
+
+TINY_M2M = dict(
+    model_type="m2m_100", vocab_size=150, d_model=32, encoder_layers=2,
+    decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
+    encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+    pad_token_id=1, bos_token_id=0, eos_token_id=2, scale_embedding=True,
+)
+
+
+def _m2m_ids():
+    rng = np.random.RandomState(0)
+    ids = rng.randint(3, 149, size=(3, 14)).astype(np.int32)
+    ids[0, 10:] = 1  # pads exercise the fairseq position ids + key mask
+    ids[2, 5:] = 1
+    return ids
+
+
+def test_m2m100_encoder_parity():
+    """Native M2M100 encoder vs torch M2M100Model.encoder (the reference's
+    nllb tower after hf_model.py:118-127 takes model.encoder): golden parity
+    on padded batches, fairseq sinusoidal positions included."""
+    import torch
+    from transformers import AutoConfig, M2M100Model
+
+    from xclip_tpu.models.m2m100 import (
+        cfg_from_hf_config,
+        m2m100_encoder_apply,
+        m2m100_params_to_torch_sd,
+        m2m100_torch_sd_to_params,
+    )
+
+    config = AutoConfig.for_model(**TINY_M2M)
+    torch.manual_seed(0)
+    ref = M2M100Model(config).eval()
+    enc_sd = {k: v.detach().numpy() for k, v in ref.encoder.state_dict().items()}
+
+    cfg = cfg_from_hf_config(config)
+    params = m2m100_torch_sd_to_params(enc_sd, cfg)
+
+    ids = _m2m_ids()
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        want = ref.encoder(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                           attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+    got = np.asarray(m2m100_encoder_apply(params, ids, cfg))
+    # compare only non-pad positions: torch attends pad queries to a fully
+    # masked row differently than our -inf softmax, and those rows are
+    # pooled away downstream anyway
+    np.testing.assert_allclose(got[mask.astype(bool)], want[mask.astype(bool)],
+                               atol=2e-3, rtol=1e-3)
+
+    # round-trip bridge: params -> torch sd -> params is exact
+    sd2 = m2m100_params_to_torch_sd(params)
+    params2 = m2m100_torch_sd_to_params(sd2, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_m2m100_tower_parity_vs_reference_hf_encoder(tmp_path):
+    """Full nllb-style tower (cls_pooler + linear proj, the nllb-clip text
+    config) vs the reference HFTextEncoder over torch M2M100."""
+    import torch
+
+    from ref_compat import import_reference_open_clip
+    from xclip_tpu.models.hf_text import (
+        HFTextCfg,
+        HFTextTower,
+        hf_text_state_dict_to_params,
+    )
+
+    import_reference_open_clip()
+    from open_clip.hf_model import HFTextEncoder
+    from transformers import AutoConfig
+
+    config = AutoConfig.for_model(**TINY_M2M)
+    torch.manual_seed(0)
+    ref = HFTextEncoder("", output_dim=24, config=config,
+                        pooler_type="cls_pooler", proj_type="linear", pretrained=False)
+    # HFTextEncoder(config=...) keeps the full encoder-decoder; the factory
+    # path takes .encoder (hf_model.py:124-127) — mirror that
+    ref.transformer = ref.transformer.encoder
+    ref.eval()
+
+    cfg = HFTextCfg(hf_model_name="tiny-m2m-clip", output_dim=24,
+                    hf_model_pretrained=False, pooler_type="cls_pooler",
+                    proj_type="linear",
+                    hf_config_json=json.dumps(TINY_M2M))
+    tower = HFTextTower(cfg)
+    assert tower.width == 32 and tower.pooler_type == "cls_pooler"
+    sd = {f"text.transformer.{k}": v.detach().numpy()
+          for k, v in ref.transformer.state_dict().items()}
+    params = hf_text_state_dict_to_params(tower, sd)
+    params["proj"] = {"linear": {"kernel": jnp.asarray(
+        ref.proj.weight.detach().numpy().T)}}
+
+    ids = _m2m_ids()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids.astype(np.int64))).numpy()
+    got, tokens = tower.apply_with_tokens(params, ids)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+    # cls_pooler drops position 0 from the token stream (hf_model.py:161-166)
+    assert tokens.shape == (3, 13, 32)
+
+    # our sd export round-trips through the same tower
+    from xclip_tpu.models.hf_text import hf_text_params_to_state_dict
+
+    sd2 = hf_text_params_to_state_dict(tower, params)
+    assert "text.proj.weight" in sd2
+    params2 = hf_text_state_dict_to_params(tower, sd2)
+    got2 = tower.apply(dict(params2, proj=params["proj"]), ids)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), atol=1e-6)
+
+
+def test_m2m100_local_dir_pretrained(tmp_path):
+    """hf_model_pretrained with a local HF M2M100 directory loads encoder
+    weights (safetensors) into the native tower."""
+    import torch
+    from transformers import AutoConfig, M2M100Model
+
+    from xclip_tpu.models.hf_text import HFTextCfg, HFTextTower
+
+    config = AutoConfig.for_model(**TINY_M2M)
+    torch.manual_seed(1)
+    tm = M2M100Model(config).eval()
+    tm.save_pretrained(tmp_path / "m2m")
+
+    cfg = HFTextCfg(hf_model_name=str(tmp_path / "m2m"), output_dim=32,
+                    hf_model_pretrained=True, pooler_type="cls_pooler",
+                    proj_type=None)
+    tower = HFTextTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0))
+    want = tm.encoder.embed_tokens.weight.detach().numpy()
+    np.testing.assert_allclose(np.asarray(params["hf"]["embed_tokens"]), want, atol=0)
+
+    # offline hub name still fails fast with guidance
+    with pytest.raises(RuntimeError, match="local HF directory"):
+        HFTextTower(HFTextCfg(hf_model_name="facebook/nllb-200-distilled-600M",
+                              output_dim=512, hf_model_pretrained=True))
+
+
+def test_nllb_clip_configs_parse():
+    """The shipped nllb-clip configs parse; towers build config-only."""
+    from xclip_tpu.models.clip import clip_cfg_from_dict
+    from xclip_tpu.models.factory import get_model_config
+
+    for name, width in (("nllb-clip-base", 768), ("nllb-clip-large", 1280)):
+        d = get_model_config(name)
+        assert d is not None
+        cfg = clip_cfg_from_dict(d)
+        assert cfg.is_hf_text and cfg.text.pooler_type == "cls_pooler"
+        assert cfg.text.proj_type == "linear"
+        assert cfg.vision.width == width

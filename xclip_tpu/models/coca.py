@@ -43,12 +43,16 @@ class MultimodalCfg:
 class CoCaCfg:
     embed_dim: int
     vision: T.VisionTransformerCfg
-    text: T.TextTransformerCfg
+    text: object  # T.TextTransformerCfg or hf_text.HFTextCfg
     multimodal: MultimodalCfg
     attn_pooler_queries: int = 256
     attn_pooler_heads: int = 8
     pad_id: int = 0
     init_logit_scale: float = math.log(1 / 0.07)
+    # the decoder's vocab projection size — the reference passes
+    # text_cfg.vocab_size (default 49408, even for HF towers) as the
+    # MultimodalTransformer output_dim (coca_model.py:105-121)
+    decoder_vocab_size: int = 49408
 
     @property
     def image_size(self) -> int:
@@ -56,7 +60,13 @@ class CoCaCfg:
 
     @property
     def context_length(self) -> int:
-        return self.text.context_length
+        # reference CoCa exposes the MULTIMODAL context length
+        # (coca_model.py:134: self.context_length = multimodal_cfg.context_length)
+        return self.multimodal.context_length
+
+    @property
+    def is_hf_text(self) -> bool:
+        return getattr(self.text, "is_hf", False)
 
 
 def coca_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CoCaCfg:
@@ -66,11 +76,21 @@ def coca_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CoCaCfg:
         image_size=v.get("image_size", 224), patch_size=v["patch_size"], width=v["width"],
         layers=v["layers"], heads=v["width"] // v.get("head_width", 64),
         output_dim=d["embed_dim"], act=act,
+        # coca_base has no attentional pool: cls-tok pooling + ln_post over
+        # the full sequence feeds the decoder (transformer.py:636-639)
+        attentional_pool=bool(v.get("attentional_pool", False)),
+        attn_pooler_heads=v.get("attn_pooler_heads", 8),
+        attn_pooler_queries=v.get("attn_pooler_queries", 256),
     )
-    text = T.TextTransformerCfg(
-        context_length=t.get("context_length", 76), vocab_size=t.get("vocab_size", 49408),
-        width=t["width"], heads=t["heads"], layers=t["layers"], output_dim=d["embed_dim"], act=act,
-    )
+    if "hf_model_name" in t:
+        from xclip_tpu.models.hf_text import hf_text_cfg_from_dict
+
+        text = hf_text_cfg_from_dict(t, d["embed_dim"])
+    else:
+        text = T.TextTransformerCfg(
+            context_length=t.get("context_length", 76), vocab_size=t.get("vocab_size", 49408),
+            width=t["width"], heads=t["heads"], layers=t["layers"], output_dim=d["embed_dim"], act=act,
+        )
     multimodal = MultimodalCfg(
         context_length=m.get("context_length", 76), width=m["width"], heads=m["heads"],
         layers=m["layers"], mlp_ratio=m.get("mlp_ratio", 4.0), act=act,
@@ -79,6 +99,7 @@ def coca_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CoCaCfg:
         embed_dim=d["embed_dim"], vision=vision, text=text, multimodal=multimodal,
         attn_pooler_heads=v.get("attn_pooler_heads", 8),
         attn_pooler_queries=v.get("attn_pooler_queries", 256),
+        decoder_vocab_size=t.get("vocab_size", 49408),
     )
 
 
@@ -153,22 +174,31 @@ class CoCaModel:
         kv, kt, kd, kp, kp2, kc = jax.random.split(rng, 6)
         cfg = self.cfg
         visual = T.vit_init(kv, cfg.vision)
-        # attentional pooling replaces ln_post+tok pooling for the pooled path:
-        # pool_dim = output_dim (model.py:494-530)
-        visual["attn_pool"] = attn_pooler_init(
-            kp, cfg.embed_dim, cfg.vision.width, cfg.attn_pooler_queries
-        )
-        visual["ln_post"] = L.layernorm_init(cfg.embed_dim)
-        visual["proj"] = (cfg.embed_dim**-0.5) * jax.random.normal(
-            kp2, (cfg.embed_dim, cfg.embed_dim), jnp.float32
-        )
+        if cfg.vision.attentional_pool:
+            # attentional pooling replaces ln_post+tok pooling for the pooled
+            # path: pool_dim = output_dim (model.py:494-530); re-init here so
+            # the pooler shares the CoCa key schedule
+            visual["attn_pool"] = attn_pooler_init(
+                kp, cfg.embed_dim, cfg.vision.width, cfg.attn_pooler_queries
+            )
+            visual["ln_post"] = L.layernorm_init(cfg.embed_dim)
+            visual["proj"] = (cfg.embed_dim**-0.5) * jax.random.normal(
+                kp2, (cfg.embed_dim, cfg.embed_dim), jnp.float32
+            )
+        # else: vit_init already made width-sized ln_post + (width, embed_dim)
+        # proj — the coca_base layout (transformer.py:636-639)
 
-        text = T.text_init(kt, cfg.text)
-        # embed_cls: one extra position + cls embedding (transformer.py:694-700)
-        text["cls_emb"] = 0.01 * jax.random.normal(kc, (cfg.text.width,), jnp.float32)
-        text["positional_embedding"] = 0.01 * jax.random.normal(
-            jax.random.fold_in(kt, 7), (cfg.text.context_length + 1, cfg.text.width), jnp.float32
-        )
+        if cfg.is_hf_text:
+            from xclip_tpu.models.clip import _hf_tower
+
+            text = _hf_tower(cfg.text).init(kt)
+        else:
+            text = T.text_init(kt, cfg.text)
+            # embed_cls: one extra position + cls embedding (transformer.py:694-700)
+            text["cls_emb"] = 0.01 * jax.random.normal(kc, (cfg.text.width,), jnp.float32)
+            text["positional_embedding"] = 0.01 * jax.random.normal(
+                jax.random.fold_in(kt, 7), (cfg.text.context_length + 1, cfg.text.width), jnp.float32
+            )
 
         mm = cfg.multimodal
         decoder: Dict = {"blocks": [], "cross_blocks": []}
@@ -178,7 +208,7 @@ class CoCaModel:
             decoder["cross_blocks"].append(cross_block_init(k2, mm.width, mm.heads, mm.mlp_ratio, mm.layers))
         decoder["ln_final"] = L.layernorm_init(mm.width)
         decoder["text_projection"] = (mm.width**-0.5) * jax.random.normal(
-            jax.random.fold_in(kd, 9), (mm.width, cfg.text.vocab_size), jnp.float32
+            jax.random.fold_in(kd, 9), (mm.width, cfg.decoder_vocab_size), jnp.float32
         )
 
         return {
@@ -191,21 +221,25 @@ class CoCaModel:
     # -- towers -----------------------------------------------------------------
     def encode_image_with_tokens(self, params, images, *, dtype=None,
                                  normalize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """-> (latent (B, E), pooled token embs (B, n_queries-? , E)).
+        """-> (latent (B, E), token embs for the decoder's cross attention).
 
-        Reference VisionTransformer with attn_pool (transformer.py:615-629):
-        x = attn_pool(transformer_out); ln_post; pooled = x[:,0],
-        tokens = x[:,1:]; latent = pooled @ proj.
+        With attn_pool (transformer.py:615-629): x = attn_pool(transformer
+        out); ln_post; pooled = x[:,0], tokens = x[:,1:]; latent = pooled @
+        proj. Without (coca_base, transformer.py:636-639): x = ln_post(out);
+        pooled = x[:,0] @ proj, tokens = x[:,1:] (vision-width tokens).
         """
         cfg = self.cfg
         tokens, _ = T.vit_apply(
             params["visual"], images, cfg.vision, dtype=dtype,
             stop=cfg.vision.layers + 1,  # stop before the default pooling stage
         )
-        pooled_all = attn_pooler_apply(
-            params["visual"]["attn_pool"], tokens, heads=cfg.attn_pooler_heads, dtype=dtype
-        )
-        pooled_all = L.layernorm_apply(params["visual"]["ln_post"], pooled_all)
+        if cfg.vision.attentional_pool:
+            pooled_all = attn_pooler_apply(
+                params["visual"]["attn_pool"], tokens, heads=cfg.attn_pooler_heads, dtype=dtype
+            )
+            pooled_all = L.layernorm_apply(params["visual"]["ln_post"], pooled_all)
+        else:
+            pooled_all = L.layernorm_apply(params["visual"]["ln_post"], tokens)
         pooled, tok_embs = pooled_all[:, 0], pooled_all[:, 1:]
         latent = jnp.dot(pooled.astype(jnp.float32), params["visual"]["proj"].astype(jnp.float32))
         if normalize:
@@ -215,7 +249,20 @@ class CoCaModel:
     def encode_text_with_tokens(self, params, text_ids, *, dtype=None,
                                 normalize: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """cls-token text tower (transformer.py:768-802): append cls emb,
-        causal mask + pad cls-mask, 'last' pooling, ln_final after pooling."""
+        causal mask + pad cls-mask, 'last' pooling, ln_final after pooling.
+        HF towers (coca_roberta) return (projected latent, hidden-state
+        tokens) per hf_model.py:155-169."""
+        if self.cfg.is_hf_text:
+            from xclip_tpu.models.clip import _hf_tower
+
+            latent, tokens = _hf_tower(self.cfg.text).apply_with_tokens(
+                params["text"], text_ids, dtype=dtype
+            )
+            latent = latent.astype(jnp.float32)
+            if normalize:
+                latent = latent / jnp.maximum(
+                    jnp.linalg.norm(latent, axis=-1, keepdims=True), 1e-12)
+            return latent, tokens
         cfg = self.cfg.text
         p = params["text"]
         emb_dtype = dtype or p["token_embedding"].dtype
@@ -542,33 +589,41 @@ def coca_params_to_state_dict(model: CoCaModel, params: Dict) -> Dict[str, np.nd
         put_block(f"visual.transformer.resblocks.{i}", f"visual{SEP}blocks{SEP}{i}")
     put_ln("visual.ln_post", f"visual{SEP}ln_post")
     sd["visual.proj"] = p[f"visual{SEP}proj"]
-    # attentional pooler (q and kv dims match in CoCa towers -> packed MHA)
-    ap = f"visual{SEP}attn_pool"
-    sd["visual.attn_pool.query"] = p[f"{ap}{SEP}query"]
-    qw = _lin(p[f"{ap}{SEP}attn{SEP}q{SEP}kernel"])
-    kw = _lin(p[f"{ap}{SEP}attn{SEP}k{SEP}kernel"])
-    vw = _lin(p[f"{ap}{SEP}attn{SEP}v{SEP}kernel"])
-    if qw.shape == kw.shape == vw.shape:
-        sd["visual.attn_pool.attn.in_proj_weight"] = np.concatenate([qw, kw, vw])
-    else:  # torch MHA keeps separate weights when kdim/vdim differ
-        sd["visual.attn_pool.attn.q_proj_weight"] = qw
-        sd["visual.attn_pool.attn.k_proj_weight"] = kw
-        sd["visual.attn_pool.attn.v_proj_weight"] = vw
-    sd["visual.attn_pool.attn.in_proj_bias"] = np.concatenate(
-        [p[f"{ap}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")]
-    )
-    put_lin("visual.attn_pool.attn.out_proj", f"{ap}{SEP}attn{SEP}out")
-    put_ln("visual.attn_pool.ln_q", f"{ap}{SEP}ln_q")
-    put_ln("visual.attn_pool.ln_k", f"{ap}{SEP}ln_k")
+    if cfg.vision.attentional_pool:
+        # attentional pooler (q and kv dims match in CoCa towers -> packed MHA)
+        ap = f"visual{SEP}attn_pool"
+        sd["visual.attn_pool.query"] = p[f"{ap}{SEP}query"]
+        qw = _lin(p[f"{ap}{SEP}attn{SEP}q{SEP}kernel"])
+        kw = _lin(p[f"{ap}{SEP}attn{SEP}k{SEP}kernel"])
+        vw = _lin(p[f"{ap}{SEP}attn{SEP}v{SEP}kernel"])
+        if qw.shape == kw.shape == vw.shape:
+            sd["visual.attn_pool.attn.in_proj_weight"] = np.concatenate([qw, kw, vw])
+        else:  # torch MHA keeps separate weights when kdim/vdim differ
+            sd["visual.attn_pool.attn.q_proj_weight"] = qw
+            sd["visual.attn_pool.attn.k_proj_weight"] = kw
+            sd["visual.attn_pool.attn.v_proj_weight"] = vw
+        sd["visual.attn_pool.attn.in_proj_bias"] = np.concatenate(
+            [p[f"{ap}{SEP}attn{SEP}{n}{SEP}bias"] for n in ("q", "k", "v")]
+        )
+        put_lin("visual.attn_pool.attn.out_proj", f"{ap}{SEP}attn{SEP}out")
+        put_ln("visual.attn_pool.ln_q", f"{ap}{SEP}ln_q")
+        put_ln("visual.attn_pool.ln_k", f"{ap}{SEP}ln_k")
 
-    # text tower (custom-text layout)
-    sd["text.token_embedding.weight"] = p[f"text{SEP}token_embedding"]
-    sd["text.positional_embedding"] = p[f"text{SEP}positional_embedding"]
-    sd["text.cls_emb"] = p[f"text{SEP}cls_emb"]
-    sd["text.text_projection"] = p[f"text{SEP}text_projection"]
-    put_ln("text.ln_final", f"text{SEP}ln_final")
-    for i in range(cfg.text.layers):
-        put_block(f"text.transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}")
+    if cfg.is_hf_text:
+        # HF tower: text.transformer.* via the flax->torch converter
+        from xclip_tpu.models.clip import _hf_tower
+        from xclip_tpu.models.hf_text import hf_text_params_to_state_dict
+
+        sd.update(hf_text_params_to_state_dict(_hf_tower(cfg.text), params["text"]))
+    else:
+        # text tower (custom-text layout)
+        sd["text.token_embedding.weight"] = p[f"text{SEP}token_embedding"]
+        sd["text.positional_embedding"] = p[f"text{SEP}positional_embedding"]
+        sd["text.cls_emb"] = p[f"text{SEP}cls_emb"]
+        sd["text.text_projection"] = p[f"text{SEP}text_projection"]
+        put_ln("text.ln_final", f"text{SEP}ln_final")
+        for i in range(cfg.text.layers):
+            put_block(f"text.transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}")
 
     # multimodal decoder
     for i in range(cfg.multimodal.layers):
@@ -607,17 +662,27 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Di
         _map_block(flat, sd, f"visual{SEP}blocks{SEP}{i}", f"visual.transformer.resblocks.{i}", cfg.vision.width)
     _map_ln(flat, sd, f"visual{SEP}ln_post", "visual.ln_post")
     flat[f"visual{SEP}proj"] = sd["visual.proj"]
-    # attentional pooler (shared mapper; handles packed vs separate q/k/v)
-    _map_attn_pooler(flat, sd, cfg.embed_dim)
+    if cfg.vision.attentional_pool:
+        # attentional pooler (shared mapper; handles packed vs separate q/k/v)
+        _map_attn_pooler(flat, sd, cfg.embed_dim)
 
-    # text tower (custom-text layout: text.*)
-    flat[f"text{SEP}token_embedding"] = sd["text.token_embedding.weight"]
-    flat[f"text{SEP}positional_embedding"] = sd["text.positional_embedding"]
-    flat[f"text{SEP}cls_emb"] = sd["text.cls_emb"]
-    flat[f"text{SEP}text_projection"] = sd["text.text_projection"]
-    _map_ln(flat, sd, f"text{SEP}ln_final", "text.ln_final")
-    for i in range(cfg.text.layers):
-        _map_block(flat, sd, f"text{SEP}blocks{SEP}{i}", f"text.transformer.resblocks.{i}", cfg.text.width)
+    hf_text_params = None
+    if cfg.is_hf_text:
+        from xclip_tpu.models.clip import _hf_tower
+        from xclip_tpu.models.hf_text import hf_text_state_dict_to_params
+
+        hf_text_params = hf_text_state_dict_to_params(
+            _hf_tower(cfg.text), {k: v for k, v in sd.items() if k.startswith("text.")}
+        )
+    else:
+        # text tower (custom-text layout: text.*)
+        flat[f"text{SEP}token_embedding"] = sd["text.token_embedding.weight"]
+        flat[f"text{SEP}positional_embedding"] = sd["text.positional_embedding"]
+        flat[f"text{SEP}cls_emb"] = sd["text.cls_emb"]
+        flat[f"text{SEP}text_projection"] = sd["text.text_projection"]
+        _map_ln(flat, sd, f"text{SEP}ln_final", "text.ln_final")
+        for i in range(cfg.text.layers):
+            _map_block(flat, sd, f"text{SEP}blocks{SEP}{i}", f"text.transformer.resblocks.{i}", cfg.text.width)
 
     # multimodal decoder
     for i in range(cfg.multimodal.layers):
@@ -629,4 +694,8 @@ def coca_state_dict_to_params(sd: Dict[str, np.ndarray], model: CoCaModel) -> Di
     flat["logit_scale"] = np.asarray(sd["logit_scale"], np.float32).reshape(())
 
     params0 = model.init(jax.random.PRNGKey(0))
+    if hf_text_params is not None:
+        # the HF subtree was converted wholesale above; unflatten the rest
+        rest = unflatten_into({k: v for k, v in params0.items() if k != "text"}, flat)
+        return dict(rest, text=hf_text_params)
     return unflatten_into(params0, flat)

@@ -73,7 +73,7 @@ def is_coca_model(model_name: str) -> bool:
 
 
 def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: int = 0,
-                      force_quick_gelu: bool = False):
+                      force_quick_gelu: bool = False, pretrained_hf: bool = True):
     """CoCa factory -> (CoCaModel, params). Reference checkpoints load via
     the CoCa state-dict bridge."""
     import jax as _jax
@@ -84,6 +84,9 @@ def create_coca_model(model_name: str, pretrained: Optional[str] = None, seed: i
     if cfg is None:
         raise RuntimeError(f"Model config for {model_name} not found")
     quick_gelu = bool(cfg.pop("quick_gelu", False)) or force_quick_gelu
+    if "hf_model_name" in cfg["text_cfg"]:
+        # reference factory.py:257: a CLIP checkpoint supersedes HF-hub weights
+        cfg["text_cfg"]["hf_model_pretrained"] = bool(pretrained_hf and not pretrained)
     model = CoCaModel(coca_cfg_from_dict(cfg, quick_gelu=quick_gelu))
     params = model.init(_jax.random.PRNGKey(seed))
     if pretrained:

@@ -11,7 +11,8 @@ Offline behaviour (this box has no egress): configs for the reference's
 roberta/xlm-roberta families are bundled, so ``hf_model_pretrained=false``
 towers build with random init anywhere; pretrained weights load from a
 LOCAL HF directory path (torch checkpoints are converted by transformers'
-own from_pt path). Encoder-decoder archs (mt5) are not supported yet.
+own from_pt path). Encoder-decoder archs: mt5/t5 use the flax encoder-only
+classes; m2m_100 (nllb) uses the native JAX encoder in models/m2m100.py.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ _DEFAULT_POOLER = {
     "xlm-roberta": "mean_pooler",
     "mt5": "mean_pooler",
     "bert": "cls_pooler",
+    "m2m_100": "cls_pooler",
 }
 
 # public architecture configs for the HF models the reference's
@@ -64,6 +66,25 @@ _BUNDLED_CONFIGS = {
         num_layers=24, num_heads=32, feed_forward_proj="gated-gelu",
         pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
         tie_word_embeddings=False,
+    ),
+    # nllb text towers (reference nllb-clip-base/-large configs). Hyperparams
+    # reconstructed from the published parameter counts (zero-egress box —
+    # can't fetch the hub config); a local HF directory path overrides these.
+    "facebook/nllb-200-distilled-600M": dict(
+        model_type="m2m_100", vocab_size=256206, d_model=1024,
+        encoder_layers=12, decoder_layers=12, encoder_attention_heads=16,
+        decoder_attention_heads=16, encoder_ffn_dim=4096, decoder_ffn_dim=4096,
+        max_position_embeddings=1024, scale_embedding=True,
+        activation_function="relu", pad_token_id=1, bos_token_id=0,
+        eos_token_id=2, decoder_start_token_id=2,
+    ),
+    "facebook/nllb-200-distilled-1.3B": dict(
+        model_type="m2m_100", vocab_size=256206, d_model=1024,
+        encoder_layers=24, decoder_layers=24, encoder_attention_heads=16,
+        decoder_attention_heads=16, encoder_ffn_dim=8192, decoder_ffn_dim=8192,
+        max_position_embeddings=1024, scale_embedding=True,
+        activation_function="relu", pad_token_id=1, bos_token_id=0,
+        eos_token_id=2, decoder_start_token_id=2,
     ),
 }
 
@@ -123,33 +144,52 @@ class HFTextTower:
                 config.model_type, "cls_pooler"
             )
             # encoder-decoder archs: use the encoder-only flax class (the
-            # reference takes model.encoder, hf_model.py:124-127)
-            if config.model_type in ("mt5", "t5"):
-                if config.model_type == "mt5":
-                    from transformers import FlaxMT5EncoderModel as _Cls
-                else:
-                    from transformers import FlaxT5EncoderModel as _Cls
-                kw = {}
-            elif getattr(config, "is_encoder_decoder", False):
-                raise NotImplementedError(
-                    f"encoder-decoder HF arch {config.model_type!r} has no "
-                    "flax encoder-only class"
-                )
-            else:
-                _Cls = FlaxAutoModel
-                kw = {"add_pooling_layer": self.pooler_type == "cls_pooler"}
-            if cfg.hf_model_pretrained and os.path.isdir(cfg.hf_model_name):
-                self._flax = _Cls.from_pretrained(cfg.hf_model_name, from_pt=None, **kw)
-            elif cfg.hf_model_pretrained and cfg.hf_model_name not in _BUNDLED_CONFIGS:
-                self._flax = _Cls.from_pretrained(cfg.hf_model_name, **kw)
-            else:
+            # reference takes model.encoder, hf_model.py:124-127); m2m_100
+            # (nllb) has no flax class at all -> native JAX encoder
+            # (models/m2m100.py)
+            self._flax = None
+            self._native_cfg = None
+            self._native_pretrained_dir = None
+            if config.model_type == "m2m_100":
+                from xclip_tpu.models.m2m100 import cfg_from_hf_config
+
+                self._native_cfg = cfg_from_hf_config(config)
                 if cfg.hf_model_pretrained:
-                    raise RuntimeError(
-                        f"pretrained weights for {cfg.hf_model_name!r} are not "
-                        "available offline — pass a local HF directory path as "
-                        "hf_model_name, or set hf_model_pretrained=false"
+                    if os.path.isdir(cfg.hf_model_name):
+                        self._native_pretrained_dir = cfg.hf_model_name
+                    else:
+                        raise RuntimeError(
+                            f"pretrained weights for {cfg.hf_model_name!r} are "
+                            "not available offline — pass a local HF directory "
+                            "path as hf_model_name, or set hf_model_pretrained=false"
+                        )
+            else:
+                if config.model_type in ("mt5", "t5"):
+                    if config.model_type == "mt5":
+                        from transformers import FlaxMT5EncoderModel as _Cls
+                    else:
+                        from transformers import FlaxT5EncoderModel as _Cls
+                    kw = {}
+                elif getattr(config, "is_encoder_decoder", False):
+                    raise NotImplementedError(
+                        f"encoder-decoder HF arch {config.model_type!r} has no "
+                        "flax encoder-only class"
                     )
-                self._flax = _Cls.from_config(config, **kw)
+                else:
+                    _Cls = FlaxAutoModel
+                    kw = {"add_pooling_layer": self.pooler_type == "cls_pooler"}
+                if cfg.hf_model_pretrained and os.path.isdir(cfg.hf_model_name):
+                    self._flax = _Cls.from_pretrained(cfg.hf_model_name, from_pt=None, **kw)
+                elif cfg.hf_model_pretrained and cfg.hf_model_name not in _BUNDLED_CONFIGS:
+                    self._flax = _Cls.from_pretrained(cfg.hf_model_name, **kw)
+                else:
+                    if cfg.hf_model_pretrained:
+                        raise RuntimeError(
+                            f"pretrained weights for {cfg.hf_model_name!r} are not "
+                            "available offline — pass a local HF directory path as "
+                            "hf_model_name, or set hf_model_pretrained=false"
+                        )
+                    self._flax = _Cls.from_config(config, **kw)
         self.width = getattr(config, "hidden_size", None) or getattr(config, "d_model", None)
         self.vocab_size = getattr(config, "vocab_size", 0)
         # model capacity; batches are padded to cfg.context_length (77), not this
@@ -160,7 +200,21 @@ class HFTextTower:
     def init(self, rng) -> Dict:
         from xclip_tpu.models import layers as L
 
-        params: Dict = {"hf": jax.tree_util.tree_map(jnp.asarray, dict(self._flax.params))}
+        if self._native_cfg is not None:
+            from xclip_tpu.models.m2m100 import (
+                load_encoder_from_local_dir,
+                m2m100_encoder_init,
+            )
+
+            hf_params = None
+            if self._native_pretrained_dir is not None:
+                hf_params = load_encoder_from_local_dir(
+                    self._native_pretrained_dir, self._native_cfg)
+            if hf_params is None:
+                hf_params = m2m100_encoder_init(rng, self._native_cfg)
+            params: Dict = {"hf": hf_params}
+        else:
+            params = {"hf": jax.tree_util.tree_map(jnp.asarray, dict(self._flax.params))}
         d, out = self.width, self.cfg.output_dim
         if self.cfg.proj_type is None and d == out:
             pass  # identity
@@ -179,35 +233,54 @@ class HFTextTower:
 
     # -- forward -------------------------------------------------------------
     def apply(self, params, text_ids, *, dtype=None) -> jnp.ndarray:
+        projected, _ = self.apply_with_tokens(params, text_ids, dtype=dtype)
+        return projected
+
+    def apply_with_tokens(self, params, text_ids, *, dtype=None):
+        """-> (projected pooled (B, out), token hiddens (B, L', width)).
+
+        Token semantics follow the reference forward (hf_model.py:155-169):
+        the cls position is dropped from the token stream only for the
+        cls_pooler; mean/max/cls_last poolers pass the full sequence."""
         from xclip_tpu.models import layers as L
 
         del dtype  # HF tower computes in its own dtype (fp32)
         ids = jnp.asarray(text_ids)
         mask = (ids != self.config.pad_token_id).astype(jnp.int32)
-        out = self._flax(input_ids=ids, attention_mask=mask, params=dict(params["hf"]))
+        if self._native_cfg is not None:
+            from xclip_tpu.models.m2m100 import m2m100_encoder_apply
+
+            last_hidden = m2m100_encoder_apply(params["hf"], ids, self._native_cfg)
+            pooler_output = None
+        else:
+            out = self._flax(input_ids=ids, attention_mask=mask, params=dict(params["hf"]))
+            last_hidden = out.last_hidden_state
+            pooler_output = getattr(out, "pooler_output", None)
 
         if self.pooler_type == "mean_pooler":
-            m = mask[..., None].astype(out.last_hidden_state.dtype)
-            pooled = (out.last_hidden_state * m).sum(axis=1) / m.sum(axis=1)
+            m = mask[..., None].astype(last_hidden.dtype)
+            pooled = (last_hidden * m).sum(axis=1) / m.sum(axis=1)
         elif self.pooler_type == "max_pooler":
             neg = jnp.where(mask[..., None] == 0, -jnp.inf, 0.0)
-            pooled = (out.last_hidden_state + neg).max(axis=1)
+            pooled = (last_hidden + neg).max(axis=1)
         elif self.pooler_type == "cls_pooler":
-            pooled = out.pooler_output if getattr(out, "pooler_output", None) is not None \
-                else out.last_hidden_state[:, 0]
+            pooled = pooler_output if pooler_output is not None else last_hidden[:, 0]
         elif self.pooler_type == "cls_last_hidden_state_pooler":
-            pooled = out.last_hidden_state[:, 0]
+            pooled = last_hidden[:, 0]
         else:
             raise ValueError(f"unknown pooler {self.pooler_type!r}")
 
+        tokens = (last_hidden[:, 1:]
+                  if self.pooler_type == "cls_pooler" else last_hidden)
+
         if "proj" not in params:
-            return pooled
+            return pooled, tokens
         p = params["proj"]
         if "linear" in p:
-            return L.linear_apply(p["linear"], pooled)
+            return L.linear_apply(p["linear"], pooled), tokens
         h = L.linear_apply(p["fc1"], pooled)
         h = L.gelu(h)
-        return L.linear_apply(p["fc2"], h)
+        return L.linear_apply(p["fc2"], h), tokens
 
 
 def _torch_shell(tower: "HFTextTower"):
@@ -231,13 +304,21 @@ def _torch_shell(tower: "HFTextTower"):
 def hf_text_params_to_state_dict(tower: HFTextTower, params: Dict) -> Dict[str, np.ndarray]:
     """Our params -> the reference CustomTextCLIP text-tower state dict
     ("text.transformer.*" torch naming via transformers' flax->torch
-    conversion; "text.proj[.N].weight" for the projection,
-    hf_model.py:140-152)."""
-    from transformers.modeling_flax_pytorch_utils import load_flax_weights_in_pytorch_model
+    conversion, or the native m2m100 bridge; "text.proj[.N].weight" for the
+    projection, hf_model.py:140-152)."""
+    if tower._native_cfg is not None:
+        from xclip_tpu.models.m2m100 import m2m100_params_to_torch_sd
 
-    tm = _torch_shell(tower)
-    load_flax_weights_in_pytorch_model(tm, dict(params["hf"]))
-    sd = {f"text.transformer.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+        sd = {f"text.transformer.{k}": v
+              for k, v in m2m100_params_to_torch_sd(params["hf"]).items()}
+    else:
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+
+        tm = _torch_shell(tower)
+        load_flax_weights_in_pytorch_model(tm, dict(params["hf"]))
+        sd = {f"text.transformer.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
     if "proj" in params:
         p = params["proj"]
         if "linear" in p:
@@ -250,16 +331,26 @@ def hf_text_params_to_state_dict(tower: HFTextTower, params: Dict) -> Dict[str, 
 
 def hf_text_state_dict_to_params(tower: HFTextTower, sd: Dict[str, np.ndarray]) -> Dict:
     """Inverse: a reference CustomTextCLIP "text.*" state dict -> our param
-    pytree (torch->flax via transformers' converter)."""
-    import torch
-    from transformers.modeling_flax_pytorch_utils import convert_pytorch_state_dict_to_flax
-
+    pytree (torch->flax via transformers' converter, or the native m2m100
+    bridge)."""
     prefix = "text.transformer."
-    pt_sd = {k[len(prefix):]: torch.as_tensor(np.ascontiguousarray(v))
-             for k, v in sd.items() if k.startswith(prefix)}
-    flax_params = convert_pytorch_state_dict_to_flax(pt_sd, tower._flax)
-    flax_params = jax.tree_util.tree_map(jnp.asarray, dict(flax_params))
-    params: Dict = {"hf": flax_params}
+    if tower._native_cfg is not None:
+        from xclip_tpu.models.m2m100 import m2m100_torch_sd_to_params
+
+        enc_sd = {k[len(prefix):]: np.asarray(v)
+                  for k, v in sd.items() if k.startswith(prefix)}
+        params: Dict = {"hf": m2m100_torch_sd_to_params(enc_sd, tower._native_cfg)}
+    else:
+        import torch
+        from transformers.modeling_flax_pytorch_utils import (
+            convert_pytorch_state_dict_to_flax,
+        )
+
+        pt_sd = {k[len(prefix):]: torch.as_tensor(np.ascontiguousarray(v))
+                 for k, v in sd.items() if k.startswith(prefix)}
+        flax_params = convert_pytorch_state_dict_to_flax(pt_sd, tower._flax)
+        flax_params = jax.tree_util.tree_map(jnp.asarray, dict(flax_params))
+        params = {"hf": flax_params}
     if "text.proj.weight" in sd:
         params["proj"] = {"linear": {"kernel": jnp.asarray(np.asarray(sd["text.proj.weight"]).T)}}
     elif "text.proj.0.weight" in sd:

@@ -371,9 +371,10 @@ def main(argv=None) -> int:
         # transfers; numerically identical to the host path (PIL resize
         # already returns uint8 before ToTensor/Normalize)
         preprocess_train.to_uint8 = True
-    # tokenize to the model's context length (reference get_tokenizer reads
-    # it from the model config; matters for CoCa's 76-token text towers)
-    tokenizer = get_tokenizer(args.model, context_length=model.cfg.context_length)
+    # get_tokenizer reads context_length from the config's text_cfg (default
+    # 77) exactly like the reference factory: 76 for CoCa's cls-token towers,
+    # 77 for HF towers with no explicit context_length (e.g. coca_roberta)
+    tokenizer = get_tokenizer(args.model)
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"
 
