@@ -61,6 +61,7 @@ def make_train_step_pjit(
     from xclip_tpu.core.precision import get_policy
 
     compute_dtype = get_policy(cfg.precision).compute_dtype
+    replicated_ = NamedSharding(mesh, P())
 
     def step(params, state, opt_state, batch):
         from xclip_tpu.train.step import normalize_images
@@ -68,6 +69,16 @@ def make_train_step_pjit(
         images = normalize_images(batch["images"], cfg)
 
         def loss_fn(p):
+            if shard_params:
+                # ZeRO semantics: parameters are STORED sharded but COMPUTE
+                # with a replicated (all-gathered) copy. Without this
+                # constraint the partitioner propagates the dim-0 param
+                # shards into attention internals and falls back to
+                # "involuntary full rematerialization" on the backward
+                # transposes. The constraint's transpose reduce-scatters the
+                # grads straight back to the param sharding.
+                p = jax.lax.with_sharding_constraint(
+                    p, jax.tree_util.tree_map(lambda _: replicated_, p))
             out = model.forward(
                 p, images, batch["texts"], state=state, train=True,
                 dtype=compute_dtype, remat=cfg.grad_checkpointing,
