@@ -6,7 +6,11 @@ train.py:216-217) — for the full jitted train step (forward + backward +
 AdamW + logit-scale clamp) on synthetic device-resident data, isolating
 device throughput exactly like the reference's gpu_time meter.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+roofline accounting (model TFLOPs/step, achieved TF/s + MFU, effective
+HBM GB/s from the compiled HLO cost analysis), the eval-path encode rate,
+the host-fed end-to-end rate with data/batch-time meters, and a
+decode-only host microbenchmark (the input-pipeline ceiling on this host).
 Baseline: 3000 images/sec/chip (BASELINE.md north star, TPU v5e).
 """
 
@@ -18,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
+# TPU v5e peak: 197 bf16 TFLOP/s and ~819 GB/s HBM per chip
+V5E_PEAK_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
 
 
 def _build_synthetic_tsv_tree(root: str, n_images: int = 512, size: int = 320) -> str:
@@ -41,29 +48,41 @@ def _build_synthetic_tsv_tree(root: str, n_images: int = 512, size: int = 320) -
     return tsv
 
 
-def main_e2e():
-    """Host-fed end-to-end mode (BENCH_E2E=1): the jitted step consumes
-    batches decoded by the real fastimage/DataLoader pipeline from a
-    synthetic TSV tree; reports data_time/batch_time (reference meters,
-    training/train.py:82-85,216-233) and the host-stall fraction."""
+def decode_only_rate(tsv: str, image_size: int, n: int = 192) -> float:
+    """Host decode+crop+resize ceiling (images/sec, all host cores): how fast
+    the input pipeline can possibly go on this machine, independent of the
+    device. Proves/refutes the decode-bound hypothesis for the e2e number."""
+    from xclip_tpu.data.datasets import TsvDataset
+    from xclip_tpu.data.fastimage import FastFileTransform
+
+    ds = TsvDataset(tsv, img_transform=FastFileTransform(image_size, is_train=True, to_uint8=True))
+    # warm the page cache + any lazy init
+    for i in range(8):
+        ds[i % len(ds)]
+    t0 = time.perf_counter()
+    for i in range(n):
+        ds[i % len(ds)]
+    return n / (time.perf_counter() - t0)
+
+
+def run_e2e(model_name: str, per_chip_batch: int, steps: int, warmup: int):
+    """Host-fed end-to-end training: the jitted step consumes batches decoded
+    by the real fastimage/DataLoader pipeline from a synthetic TSV tree;
+    reports data_time/batch_time (reference meters, training/train.py:
+    82-85,216-233) and the host-stall fraction. Returns a metrics dict."""
     import jax
     import numpy as np
 
     from xclip_tpu.data.datasets import TsvDataset
     from xclip_tpu.data.fastimage import FastFileTransform
     from xclip_tpu.data.loader import DataLoader, tokenizing_collate
-    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
     from xclip_tpu.models.factory import create_model
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
     from xclip_tpu.tokenizer import SimpleTokenizer
     from xclip_tpu.train import optim, schedule
     from xclip_tpu.train.step import TrainStepCfg, make_train_step
 
-    model_name = os.environ.get("BENCH_MODEL", "RN50")
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 1)))
-
     tsv = _build_synthetic_tsv_tree(os.environ.get("BENCH_TREE", "/tmp/bench_tsv_tree"))
 
     mesh = create_mesh()
@@ -111,17 +130,51 @@ def main_e2e():
     float(metrics["loss"])
     batch_time = (time.perf_counter() - t0) / steps
     data_time = float(np.mean(data_t))
-    print(json.dumps({
-        "metric": f"{model_name} CLIP host-fed e2e train throughput",
-        "value": round(global_batch / batch_time / jax.device_count(), 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(global_batch / batch_time / jax.device_count()
-                             / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    return {
+        "images_per_sec_per_chip": round(global_batch / batch_time / jax.device_count(), 2),
         "data_time": round(data_time, 4),
         "batch_time": round(batch_time, 4),
         "stall_fraction": round(max(data_time, 0.0) / batch_time, 4),
         "workers": workers,
-    }))
+        "decode_only_images_per_sec": round(
+            decode_only_rate(tsv, model.cfg.image_size), 1),
+        "host_cores": os.cpu_count(),
+    }
+
+
+def main_e2e():
+    """Standalone host-fed mode (BENCH_E2E=1)."""
+    model_name = os.environ.get("BENCH_MODEL", "RN50")
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    import jax
+
+    e2e = run_e2e(model_name, per_chip_batch, steps, warmup)
+    del jax
+    print(json.dumps(dict({
+        "metric": f"{model_name} CLIP host-fed e2e train throughput",
+        "value": e2e["images_per_sec_per_chip"],
+        "unit": "images/sec/chip",
+        "vs_baseline": round(e2e["images_per_sec_per_chip"] / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }, **{k: v for k, v in e2e.items() if k != "images_per_sec_per_chip"})))
+
+
+def _step_cost_analysis(step, args):
+    """HLO cost analysis of the compiled train step: total model FLOPs and
+    HLO-boundary bytes accessed per step (reference analogue: the FLOPs
+    profiler, deps/open_clip/src/training/profiler.py)."""
+    try:
+        compiled = getattr(step, "jitted", step).lower(*args).compile()
+        costs = compiled.cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+        flops = float(costs.get("flops", 0.0))
+        bytes_accessed = float(costs.get("bytes accessed", 0.0))
+        return flops, bytes_accessed
+    except Exception as exn:  # pragma: no cover - backend dependent
+        sys.stderr.write(f"cost analysis unavailable: {exn}\n")
+        return 0.0, 0.0
 
 
 def main():
@@ -159,6 +212,9 @@ def main():
         "texts": rng.randint(1, 49000, size=(global_batch, 77)).astype(np.int32),
     })
 
+    flops_per_step, bytes_per_step = _step_cost_analysis(
+        step, (params, state, opt_state, batch))
+
     for _ in range(warmup):
         params, state, opt_state, metrics = step(params, state, opt_state, batch)
     float(metrics["loss"])  # value fetch = hard sync (block_until_ready is
@@ -170,6 +226,7 @@ def main():
     float(metrics["loss"])  # every step chains through donated params
     dt = time.perf_counter() - t0
 
+    step_time = dt / steps
     imgs_per_sec = global_batch * steps / dt
     per_chip = imgs_per_sec / n_chips
 
@@ -193,13 +250,36 @@ def main():
     float(np.asarray(feats)[0, 0])
     eval_per_chip = eval_batch * steps / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    result = {
         "metric": f"{model_name} CLIP train throughput",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
         "eval_images_per_sec_per_chip": round(eval_per_chip, 2),
-    }))
+        "step_time_ms": round(step_time * 1e3, 2),
+    }
+    if flops_per_step > 0:
+        # roofline accounting: is the step compute- or bandwidth-limited,
+        # and how far from the v5e speed of light is it?
+        achieved_tflops = flops_per_step / step_time / 1e12 / n_chips
+        effective_gbps = bytes_per_step / step_time / 1e9 / n_chips
+        result.update({
+            "model_tflops_per_step": round(flops_per_step / 1e12, 3),
+            "achieved_tflops_per_chip": round(achieved_tflops, 2),
+            "mfu": round(achieved_tflops / V5E_PEAK_TFLOPS, 4),
+            "hlo_bytes_per_step_gb": round(bytes_per_step / 1e9, 3),
+            "effective_hbm_gbps": round(effective_gbps, 1),
+            "hbm_utilization": round(effective_gbps / V5E_HBM_GBPS, 4),
+        })
+
+    if os.environ.get("BENCH_SKIP_E2E") != "1":
+        try:
+            result["e2e"] = run_e2e(model_name, per_chip_batch,
+                                    steps=min(steps, 12), warmup=2)
+        except Exception as exn:  # pragma: no cover - host/env dependent
+            sys.stderr.write(f"e2e bench unavailable: {exn}\n")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -226,3 +226,50 @@ def test_pallas_bottleneck_matches_xla_path(monkeypatch):
     g_got = jax.grad(loss, argnums=(0, 1))(params, x, "1")
     for a, r in zip(jax.tree_util.tree_leaves(g_got), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3, atol=5e-3)
+
+
+def test_conv_s2d_equals_strided_conv():
+    """layers.conv_s2d_apply (space-to-depth stem rewrite) computes exactly
+    the 3x3/stride-2/pad-1 convolution it replaces."""
+    import jax
+    import numpy as np
+
+    from xclip_tpu.models import layers as L
+
+    rng = np.random.RandomState(0)
+    for cin, cout, hw in ((3, 32, 16), (8, 16, 8)):
+        params = {"kernel": jax.numpy.asarray(
+            rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)}
+        x = jax.numpy.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
+        want = L.conv_apply(params, x, stride=2, padding=1)
+        got = L.conv_s2d_apply(params, x)
+        assert got.shape == want.shape == (2, hw // 2, hw // 2, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    # with a bias too
+    params["bias"] = jax.numpy.asarray(rng.randn(16).astype(np.float32))
+    want = L.conv_apply(params, x, stride=2, padding=1)
+    got = L.conv_s2d_apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_stem_env_gate(monkeypatch):
+    """XCLIP_S2D_STEM=1 routes the stem's stride-2 conv through the s2d
+    rewrite with identical RN50 stage outputs."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from xclip_tpu.models import resnet as R
+
+    cfg = R.ResNetCfg(layers=(1, 1, 1, 1), width=16, output_dim=64, heads=8, image_size=32)
+    params, state = R.resnet_init(jax.random.PRNGKey(0), cfg)
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+
+    monkeypatch.delenv("XCLIP_S2D_STEM", raising=False)
+    base, _, _ = R.resnet_apply(params, state, x, cfg, train=True)
+    monkeypatch.setenv("XCLIP_S2D_STEM", "1")
+    s2d, _, _ = R.resnet_apply(params, state, x, cfg, train=True)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(base), atol=2e-5, rtol=1e-4)

@@ -415,7 +415,17 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         pflat["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
 
     # --- vision tower ---
-    if cfg.is_resnet:
+    convnext_visual = None
+    if getattr(cfg, "is_convnext", False):
+        # timm-layout tower (visual.trunk.* / visual.head.*): converted
+        # wholesale by the convnext bridge and merged after unflatten
+        from xclip_tpu.models.convnext import convnext_state_dict_to_params
+
+        convnext_visual = convnext_state_dict_to_params(
+            {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
+            cfg.vision,
+        )
+    elif cfg.is_resnet:
         v = "visual"
         for i in (1, 2, 3):
             pflat[f"{v}{SEP}stem{SEP}conv{i}{SEP}kernel"] = _conv(sd[f"visual.conv{i}.weight"])
@@ -454,21 +464,21 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
             _map_attn_pooler(pflat, sd, cfg.embed_dim)
 
     params0, state0 = model.init(jax.random.PRNGKey(0))
+    wholesale = {}  # subtrees converted outside the flat mapping
     if hf_text:
-        # keep randomly-initialized text params in the flat template, then
-        # overwrite wholesale from the converted torch state dict
         for k in list(pflat):
             if k.startswith("text" + SEP):
                 del pflat[k]
         from xclip_tpu.models.clip import _hf_tower
         from xclip_tpu.models.hf_text import hf_text_state_dict_to_params
 
-        text_params = hf_text_state_dict_to_params(_hf_tower(cfg.text), sd)
+        wholesale["text"] = hf_text_state_dict_to_params(_hf_tower(cfg.text), sd)
+    if convnext_visual is not None:
+        wholesale["visual"] = convnext_visual
+    if wholesale:
         params = unflatten_into(
-            {k: v for k, v in params0.items() if k != "text"},
-            {k: v for k, v in pflat.items()},
-        )
-        params["text"] = text_params
+            {k: v for k, v in params0.items() if k not in wholesale}, pflat)
+        params.update(wholesale)
     else:
         params = unflatten_into(params0, pflat)
     state = unflatten_into(state0, sflat) if sflat else state0
@@ -539,7 +549,12 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     if "logit_bias" in p:
         sd["logit_bias"] = p["logit_bias"].reshape(())
 
-    if cfg.is_resnet:
+    if getattr(cfg, "is_convnext", False):
+        from xclip_tpu.models.convnext import convnext_params_to_state_dict
+
+        sd.update({f"visual.{k}": v for k, v in
+                   convnext_params_to_state_dict(nested["visual"], cfg.vision).items()})
+    elif cfg.is_resnet:
         for i in (1, 2, 3):
             sd[f"visual.conv{i}.weight"] = np.transpose(p[f"visual{SEP}stem{SEP}conv{i}{SEP}kernel"], (3, 2, 0, 1))
             put_bn(f"visual.bn{i}", f"visual{SEP}stem{SEP}bn{i}", f"visual{SEP}stem{SEP}bn{i}")

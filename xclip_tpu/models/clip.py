@@ -42,6 +42,12 @@ class CLIPCfg:
         return isinstance(self.vision, R.ResNetCfg)
 
     @property
+    def is_convnext(self) -> bool:
+        from xclip_tpu.models.convnext import ConvNeXtCfg
+
+        return isinstance(self.vision, ConvNeXtCfg)
+
+    @property
     def image_size(self) -> int:
         return self.vision.image_size
 
@@ -64,7 +70,13 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
     v = dict(d["vision_cfg"])
     t = dict(d["text_cfg"])
     act = "quick_gelu" if quick_gelu else "gelu"
-    if isinstance(v.get("layers"), (list, tuple)):
+    if "timm_model_name" in v:
+        # timm towers: native JAX implementations only (timm absent from
+        # this image) — currently the convnext family (models/convnext.py)
+        from xclip_tpu.models.convnext import convnext_cfg_from_vision_dict
+
+        vision = convnext_cfg_from_vision_dict(v, embed_dim)
+    elif isinstance(v.get("layers"), (list, tuple)):
         head_width = v.get("head_width", 64)
         vision = R.ResNetCfg(
             layers=tuple(v["layers"]),
@@ -149,6 +161,10 @@ class CLIPModel:
         kv, kt = jax.random.split(rng)
         if self.cfg.is_resnet:
             vparams, vstate = R.resnet_init(kv, self.cfg.vision)
+        elif self.cfg.is_convnext:
+            from xclip_tpu.models.convnext import convnext_init
+
+            vparams, vstate = convnext_init(kv, self.cfg.vision), {}
         else:
             vparams, vstate = T.vit_init(kv, self.cfg.vision), {}
         if self.cfg.is_hf_text:
@@ -185,6 +201,14 @@ class CLIPModel:
                 params["visual"], state["visual"], x, self.cfg.vision,
                 train=train, dtype=dtype, capture=capture, remat=remat,
             )
+        elif self.cfg.is_convnext:
+            from xclip_tpu.models.convnext import convnext_apply
+
+            feats, inters = convnext_apply(
+                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
+                remat=remat, train=train, rng=rng,
+            )
+            vstate = state["visual"]
         else:
             feats, inters = T.vit_apply(
                 params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
@@ -263,4 +287,8 @@ class CLIPModel:
     def visual_stage_names(self):
         if self.cfg.is_resnet:
             return R.resnet_stage_names(self.cfg.vision)
+        if self.cfg.is_convnext:
+            from xclip_tpu.models.convnext import convnext_stage_names
+
+            return convnext_stage_names(self.cfg.vision)
         return T.vit_stage_names(self.cfg.vision)

@@ -127,6 +127,40 @@ def conv_apply(params, x, *, stride: int = 1, padding: int = 0, dtype=None):
     return y
 
 
+def conv_s2d_apply(params, x, *, dtype=None):
+    """A 3x3 / stride-2 / pad-1 conv re-expressed as a 2x2 / stride-1 conv
+    over the 2x2 space-to-depth input — identical math, but the MXU sees
+    4x the input channels (3 -> 12 lanes) at a quarter of the spatial
+    extent instead of a stride-2 window over a 3-channel image. Classic
+    TPU resnet-stem rewrite; the kernel transform happens at trace time so
+    checkpoints keep the reference (3,3,Cin,Cout) layout.
+
+    Derivation: out[i,j] = sum_{dy,dx} x[2i+dy-1, 2j+dx-1] K[dy,dx] and
+    x[2p+u, 2q+v] = xs2d[p, q, (u,v)]; so dy = 2a+u-1 with a in {0,1} over
+    s2d rows {i-1, i} -> kernel size 2 with pad (1,0), entries
+    K2[a,b,(u,v,c)] = K[2a+u-1, 2b+v-1, c] (zero outside the 3x3 taps).
+    """
+    kernel = params["kernel"]
+    kh, kw, cin, cout = kernel.shape
+    assert kh == 3 and kw == 3, "space-to-depth rewrite expects a 3x3 kernel"
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    b, h, w, _ = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # dy=-1 -> row 0
+    k2 = kp.reshape(2, 2, 2, 2, cin, cout)       # (a, u, b, v, c, o)
+    k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cin, cout)
+    y = jax.lax.conv_general_dilated(
+        xs, k2, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
 def avg_pool(x, window: int):
     """Non-overlapping average pool over NHWC spatial dims (native dtype —
     summing <=window^2 values loses no meaningful precision in bf16 and

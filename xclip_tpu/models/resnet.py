@@ -42,6 +42,12 @@ import os as _os
 FUSED_CONV_BN = _os.environ.get("XCLIP_FUSED_CONV_BN", "0") == "1"
 
 
+def _use_s2d_stem() -> bool:
+    # space-to-depth rewrite of the stride-2 stem conv (layers.conv_s2d_apply)
+    # — read per-trace so bench A/Bs can flip it without re-importing
+    return _os.environ.get("XCLIP_S2D_STEM", "0") == "1"
+
+
 @dataclasses.dataclass(frozen=True)
 class ResNetCfg:
     layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
@@ -125,7 +131,10 @@ def resnet_init(rng, cfg: ResNetCfg):
 
 
 def _stem_act(params, state, x, idx: int, *, stride: int, train: bool, dtype):
-    y = L.conv_apply(params["stem"][f"conv{idx}"], x, stride=stride, padding=1, dtype=dtype)
+    if stride == 2 and x.shape[1] % 2 == 0 and _use_s2d_stem():
+        y = L.conv_s2d_apply(params["stem"][f"conv{idx}"], x, dtype=dtype)
+    else:
+        y = L.conv_apply(params["stem"][f"conv{idx}"], x, stride=stride, padding=1, dtype=dtype)
     y, bn_state = L.batchnorm_apply(params["stem"][f"bn{idx}"], state["stem"][f"bn{idx}"], y, train=train)
     return jax.nn.relu(y), {"stem": {f"bn{idx}": bn_state}}
 

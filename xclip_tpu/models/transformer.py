@@ -133,11 +133,21 @@ def _run_blocks(
     attention_impl: str = "einsum",
     causal: bool = False,
 ):
+    import os as _os
+
     for i in range(start, stop):
         fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype,
                                         attention_impl=attention_impl, causal=causal)
         if remat:
             fn = jax.checkpoint(fn)
+        elif _os.environ.get("XCLIP_BLOCK_REMAT_DOTS") == "1":
+            # perf experiment: save only matmul outputs; elementwise chains
+            # (GELU, LN, softmax scalings) are recomputed in the backward so
+            # it reads fewer, larger fused tensors instead of many small
+            # saved intermediates (targets the measured bwd ~4x fwd excess
+            # on the text tower)
+            fn = jax.checkpoint(
+                fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         x = fn(blocks_params[i], x)
         name = f"{prefix}.{i}"
         if name in capture:

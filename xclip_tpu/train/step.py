@@ -92,10 +92,12 @@ def make_train_step(
     policy = get_policy(cfg.precision)
     compute_dtype = policy.compute_dtype
     accum = cfg.accum_freq
-    # patch dropout needs per-step randomness threaded into the compiled
-    # program; everything else is deterministic, so the rng plumbing (an
-    # extra "step" scalar in the batch) only exists when the tower uses it
-    use_rng = getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
+    # patch dropout (ViT) and stochastic depth (ConvNeXt drop_path) need
+    # per-step randomness threaded into the compiled program; everything
+    # else is deterministic, so the rng plumbing (an extra "step" scalar in
+    # the batch) only exists when the tower uses it
+    use_rng = (getattr(model.cfg.vision, "patch_dropout", 0.0) > 0.0
+               or getattr(model.cfg.vision, "drop_path_rate", 0.0) > 0.0)
 
     def maybe_normalize(images):
         return normalize_images(images, cfg)
@@ -310,6 +312,7 @@ def make_train_step(
         return jitted(params, state, opt_state, batch)
 
     step_fn.needs_rng = use_rng  # callers inject batch["step"] when True
+    step_fn.jitted = jitted  # exposed for lower()/cost-analysis (bench.py)
     return step_fn
 
 
