@@ -387,12 +387,20 @@ def build_model_from_state_dict(path_or_sd, quick_gelu: bool = True):
 
 
 def _map_clip_text(pflat, sd, cfg) -> None:
-    pflat["text" + SEP + "token_embedding"] = sd["token_embedding.weight"]
-    pflat["text" + SEP + "positional_embedding"] = sd["positional_embedding"]
-    pflat["text" + SEP + "text_projection"] = sd["text_projection"]
-    _map_ln(pflat, sd, "text" + SEP + "ln_final", "ln_final")
+    # CustomTextCLIP checkpoints (reference model.py:318, e.g. SigLIP
+    # configs) carry "text."-prefixed keys; plain CLIP keys are inline
+    tp = "text." if "text.token_embedding.weight" in sd else ""
+    pflat["text" + SEP + "token_embedding"] = sd[f"{tp}token_embedding.weight"]
+    pflat["text" + SEP + "positional_embedding"] = sd[f"{tp}positional_embedding"]
+    if f"{tp}text_projection.weight" in sd:
+        # proj_bias=True: torch nn.Linear (out,in) -> our (in,out) kernel
+        pflat[f"text{SEP}text_projection{SEP}kernel"] = sd[f"{tp}text_projection.weight"].T
+        pflat[f"text{SEP}text_projection{SEP}bias"] = sd[f"{tp}text_projection.bias"]
+    else:
+        pflat["text" + SEP + "text_projection"] = sd[f"{tp}text_projection"]
+    _map_ln(pflat, sd, "text" + SEP + "ln_final", f"{tp}ln_final")
     for i in range(cfg.text.layers):
-        _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"transformer.resblocks.{i}", cfg.text.width)
+        _map_block(pflat, sd, f"text{SEP}blocks{SEP}{i}", f"{tp}transformer.resblocks.{i}", cfg.text.width)
 
 
 def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[Dict, Dict]:
@@ -415,13 +423,27 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         pflat["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
 
     # --- vision tower ---
-    convnext_visual = None
+    timm_visual = None
     if getattr(cfg, "is_convnext", False):
         # timm-layout tower (visual.trunk.* / visual.head.*): converted
         # wholesale by the convnext bridge and merged after unflatten
         from xclip_tpu.models.convnext import convnext_state_dict_to_params
 
-        convnext_visual = convnext_state_dict_to_params(
+        timm_visual = convnext_state_dict_to_params(
+            {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
+            cfg.vision,
+        )
+    elif getattr(cfg, "is_timm_vit", False):
+        from xclip_tpu.models.timm_vit import timm_vit_state_dict_to_params
+
+        timm_visual = timm_vit_state_dict_to_params(
+            {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
+            cfg.vision,
+        )
+    elif getattr(cfg, "is_eva", False):
+        from xclip_tpu.models.eva import eva_state_dict_to_params
+
+        timm_visual = eva_state_dict_to_params(
             {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
             cfg.vision,
         )
@@ -473,8 +495,8 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         from xclip_tpu.models.hf_text import hf_text_state_dict_to_params
 
         wholesale["text"] = hf_text_state_dict_to_params(_hf_tower(cfg.text), sd)
-    if convnext_visual is not None:
-        wholesale["visual"] = convnext_visual
+    if timm_visual is not None:
+        wholesale["visual"] = timm_visual
     if wholesale:
         params = unflatten_into(
             {k: v for k, v in params0.items() if k not in wholesale}, pflat)
@@ -539,12 +561,19 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
 
         sd.update(hf_text_params_to_state_dict(_hf_tower(cfg.text), nested["text"]))
     else:
-        sd["token_embedding.weight"] = p[f"text{SEP}token_embedding"]
-        sd["positional_embedding"] = p[f"text{SEP}positional_embedding"]
-        sd["text_projection"] = p[f"text{SEP}text_projection"]
-        put_ln("ln_final", f"text{SEP}ln_final")
+        # CustomTextCLIP configs export the reference's "text."-prefixed
+        # layout so their checkpoints load into the reference model as-is
+        tp = "text." if getattr(cfg, "custom_text", False) else ""
+        sd[f"{tp}token_embedding.weight"] = p[f"text{SEP}token_embedding"]
+        sd[f"{tp}positional_embedding"] = p[f"text{SEP}positional_embedding"]
+        if f"text{SEP}text_projection{SEP}kernel" in p:
+            sd[f"{tp}text_projection.weight"] = _lin(p[f"text{SEP}text_projection{SEP}kernel"])
+            sd[f"{tp}text_projection.bias"] = p[f"text{SEP}text_projection{SEP}bias"]
+        else:
+            sd[f"{tp}text_projection"] = p[f"text{SEP}text_projection"]
+        put_ln(f"{tp}ln_final", f"text{SEP}ln_final")
         for i in range(cfg.text.layers):
-            put_block(f"transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
+            put_block(f"{tp}transformer.resblocks.{i}", f"text{SEP}blocks{SEP}{i}", cfg.text.width)
     sd["logit_scale"] = p["logit_scale"].reshape(())
     if "logit_bias" in p:
         sd["logit_bias"] = p["logit_bias"].reshape(())
@@ -554,6 +583,16 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
 
         sd.update({f"visual.{k}": v for k, v in
                    convnext_params_to_state_dict(nested["visual"], cfg.vision).items()})
+    elif getattr(cfg, "is_timm_vit", False):
+        from xclip_tpu.models.timm_vit import timm_vit_params_to_state_dict
+
+        sd.update({f"visual.{k}": v for k, v in
+                   timm_vit_params_to_state_dict(nested["visual"], cfg.vision).items()})
+    elif getattr(cfg, "is_eva", False):
+        from xclip_tpu.models.eva import eva_params_to_state_dict
+
+        sd.update({f"visual.{k}": v for k, v in
+                   eva_params_to_state_dict(nested["visual"], cfg.vision).items()})
     elif cfg.is_resnet:
         for i in (1, 2, 3):
             sd[f"visual.conv{i}.weight"] = np.transpose(p[f"visual{SEP}stem{SEP}conv{i}{SEP}kernel"], (3, 2, 0, 1))

@@ -36,6 +36,9 @@ class CLIPCfg:
     init_logit_scale: float = math.log(1 / 0.07)
     # SigLIP-style bias; None = plain CLIP (reference model.py:250-254)
     init_logit_bias: Optional[float] = None
+    # reference CustomTextCLIP (model.py:318): the text tower is a submodule,
+    # so torch checkpoints carry "text."-prefixed keys
+    custom_text: bool = False
 
     @property
     def is_resnet(self) -> bool:
@@ -46,6 +49,18 @@ class CLIPCfg:
         from xclip_tpu.models.convnext import ConvNeXtCfg
 
         return isinstance(self.vision, ConvNeXtCfg)
+
+    @property
+    def is_timm_vit(self) -> bool:
+        from xclip_tpu.models.timm_vit import TimmViTCfg
+
+        return isinstance(self.vision, TimmViTCfg)
+
+    @property
+    def is_eva(self) -> bool:
+        from xclip_tpu.models.eva import EvaCfg
+
+        return isinstance(self.vision, EvaCfg)
 
     @property
     def image_size(self) -> int:
@@ -72,10 +87,26 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
     act = "quick_gelu" if quick_gelu else "gelu"
     if "timm_model_name" in v:
         # timm towers: native JAX implementations only (timm absent from
-        # this image) — currently the convnext family (models/convnext.py)
+        # this image) — the convnext family (models/convnext.py), the
+        # timm ViT family (SigLIP ViTs / gap / relpos, models/timm_vit.py)
+        # and the EVA01/EVA02 family (models/eva.py)
+        from xclip_tpu.models import eva, timm_vit
+        from xclip_tpu.models.convnext import VARIANTS as CONVNEXT_VARIANTS
         from xclip_tpu.models.convnext import convnext_cfg_from_vision_dict
 
-        vision = convnext_cfg_from_vision_dict(v, embed_dim)
+        name = v["timm_model_name"]
+        if name in CONVNEXT_VARIANTS:
+            vision = convnext_cfg_from_vision_dict(v, embed_dim)
+        elif name in timm_vit.VARIANTS:
+            vision = timm_vit.timm_vit_cfg_from_vision_dict(v, embed_dim)
+        elif name in eva.VARIANTS:
+            vision = eva.eva_cfg_from_vision_dict(v, embed_dim)
+        else:
+            raise NotImplementedError(
+                f"timm tower {name!r} is not natively implemented (timm is "
+                f"absent from this environment); native variants: "
+                f"{sorted(CONVNEXT_VARIANTS) + sorted(timm_vit.VARIANTS) + sorted(eva.VARIANTS)}"
+            )
     elif isinstance(v.get("layers"), (list, tuple)):
         head_width = v.get("head_width", 64)
         vision = R.ResNetCfg(
@@ -126,12 +157,15 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
         no_causal_mask=t.get("no_causal_mask", False),
         pool_type=t.get("pool_type", "argmax"),
         ls_init_value=t.get("ls_init_value"),
+        proj_bias=t.get("proj_bias", False),
+        norm_eps=(t.get("norm_kwargs") or {}).get("eps", 1e-5),
     )
     kwargs = {}
     if "init_logit_scale" in d:
         kwargs["init_logit_scale"] = float(d["init_logit_scale"])
     return CLIPCfg(embed_dim=embed_dim, vision=vision, text=text,
-                   init_logit_bias=init_logit_bias, **kwargs)
+                   init_logit_bias=init_logit_bias,
+                   custom_text=bool(d.get("custom_text", False)), **kwargs)
 
 
 import functools
@@ -165,6 +199,14 @@ class CLIPModel:
             from xclip_tpu.models.convnext import convnext_init
 
             vparams, vstate = convnext_init(kv, self.cfg.vision), {}
+        elif self.cfg.is_timm_vit:
+            from xclip_tpu.models.timm_vit import timm_vit_init
+
+            vparams, vstate = timm_vit_init(kv, self.cfg.vision), {}
+        elif self.cfg.is_eva:
+            from xclip_tpu.models.eva import eva_init
+
+            vparams, vstate = eva_init(kv, self.cfg.vision), {}
         else:
             vparams, vstate = T.vit_init(kv, self.cfg.vision), {}
         if self.cfg.is_hf_text:
@@ -205,6 +247,22 @@ class CLIPModel:
             from xclip_tpu.models.convnext import convnext_apply
 
             feats, inters = convnext_apply(
+                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
+                remat=remat, train=train, rng=rng,
+            )
+            vstate = state["visual"]
+        elif self.cfg.is_timm_vit:
+            from xclip_tpu.models.timm_vit import timm_vit_apply
+
+            feats, inters = timm_vit_apply(
+                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
+                remat=remat, train=train, rng=rng,
+            )
+            vstate = state["visual"]
+        elif self.cfg.is_eva:
+            from xclip_tpu.models.eva import eva_apply
+
+            feats, inters = eva_apply(
                 params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
                 remat=remat, train=train, rng=rng,
             )
@@ -291,4 +349,12 @@ class CLIPModel:
             from xclip_tpu.models.convnext import convnext_stage_names
 
             return convnext_stage_names(self.cfg.vision)
+        if self.cfg.is_timm_vit:
+            from xclip_tpu.models.timm_vit import timm_vit_stage_names
+
+            return timm_vit_stage_names(self.cfg.vision)
+        if self.cfg.is_eva:
+            from xclip_tpu.models.eva import eva_stage_names
+
+            return eva_stage_names(self.cfg.vision)
         return T.vit_stage_names(self.cfg.vision)

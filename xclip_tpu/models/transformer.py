@@ -68,6 +68,10 @@ class TextTransformerCfg:
     no_causal_mask: bool = False
     ls_init_value: Optional[float] = None
     attention_impl: str = "einsum"
+    # SigLIP-style text towers (reference transformer.py:661 TextTransformer):
+    # biased output projection + LN eps from the config's norm_kwargs
+    proj_bias: bool = False
+    norm_eps: float = 1e-5
 
 
 # ---------------------------------------------------------------------------
@@ -104,12 +108,12 @@ def _ls(params, key, y):
 
 
 def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] = None, dtype=None,
-                attention_impl: str = "einsum", causal: bool = False):
+                attention_impl: str = "einsum", causal: bool = False, ln_eps: float = 1e-5):
     act_fn = L.ACT_FNS[act]
-    y = L.layernorm_apply(params["ln_1"], x)
+    y = L.layernorm_apply(params["ln_1"], x, eps=ln_eps)
     x = x + _ls(params, "ls_1", L.mha_apply(params["attn"], y, num_heads=heads, mask=mask,
                                             dtype=dtype, impl=attention_impl, causal=causal))
-    y = L.layernorm_apply(params["ln_2"], x)
+    y = L.layernorm_apply(params["ln_2"], x, eps=ln_eps)
     y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
     y = act_fn(y)
     y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
@@ -132,12 +136,14 @@ def _run_blocks(
     remat: bool,
     attention_impl: str = "einsum",
     causal: bool = False,
+    ln_eps: float = 1e-5,
 ):
     import os as _os
 
     for i in range(start, stop):
         fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype,
-                                        attention_impl=attention_impl, causal=causal)
+                                        attention_impl=attention_impl, causal=causal,
+                                        ln_eps=ln_eps)
         if remat:
             fn = jax.checkpoint(fn)
         elif _os.environ.get("XCLIP_BLOCK_REMAT_DOTS") == "1":
@@ -289,6 +295,12 @@ def text_init(rng, cfg: TextTransformerCfg):
         "ln_final": L.layernorm_init(cfg.width),
         "text_projection": (cfg.width**-0.5) * jax.random.normal(keys[2], (cfg.width, cfg.output_dim), jnp.float32),
     }
+    if cfg.proj_bias:
+        # reference TextTransformer with proj_bias=True: nn.Linear projection
+        params["text_projection"] = {
+            "kernel": params["text_projection"],
+            "bias": jnp.zeros((cfg.output_dim,), jnp.float32),
+        }
     for _ in range(cfg.layers):
         rng, sub = jax.random.split(rng)
         params["blocks"].append(
@@ -333,15 +345,20 @@ def text_apply(
         params["blocks"], x, heads=cfg.heads, act=cfg.act, mask=mask, dtype=dtype,
         prefix="blocks", start=0, stop=cfg.layers, capture=capture, inters=inters,
         remat=remat, attention_impl=cfg.attention_impl,
-        causal=use_flash,
+        causal=use_flash, ln_eps=cfg.norm_eps,
     )
-    x = L.layernorm_apply(params["ln_final"], x)
+    x = L.layernorm_apply(params["ln_final"], x, eps=cfg.norm_eps)
     pooled = text_global_pool(x, text_ids, cfg.pool_type)
     proj = params["text_projection"]
+    bias = None
+    if isinstance(proj, dict):
+        proj, bias = proj["kernel"], proj["bias"]
     if dtype is not None:
         proj = proj.astype(dtype)
         pooled = pooled.astype(dtype)
     pooled = jnp.dot(pooled, proj, preferred_element_type=jnp.float32)
+    if bias is not None:
+        pooled = pooled + bias.astype(pooled.dtype)
     if "pool" in capture:
         inters["pool"] = pooled
     return pooled, inters
