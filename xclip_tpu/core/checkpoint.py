@@ -424,26 +424,12 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
 
     # --- vision tower ---
     timm_visual = None
-    if getattr(cfg, "is_convnext", False):
+    if getattr(cfg, "is_native_timm", False):
         # timm-layout tower (visual.trunk.* / visual.head.*): converted
-        # wholesale by the convnext bridge and merged after unflatten
-        from xclip_tpu.models.convnext import convnext_state_dict_to_params
+        # wholesale by the family's bridge and merged after unflatten
+        from xclip_tpu.models import native_timm
 
-        timm_visual = convnext_state_dict_to_params(
-            {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
-            cfg.vision,
-        )
-    elif getattr(cfg, "is_timm_vit", False):
-        from xclip_tpu.models.timm_vit import timm_vit_state_dict_to_params
-
-        timm_visual = timm_vit_state_dict_to_params(
-            {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
-            cfg.vision,
-        )
-    elif getattr(cfg, "is_eva", False):
-        from xclip_tpu.models.eva import eva_state_dict_to_params
-
-        timm_visual = eva_state_dict_to_params(
+        timm_visual = native_timm.state_dict_to_params(
             {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
             cfg.vision,
         )
@@ -578,21 +564,11 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     if "logit_bias" in p:
         sd["logit_bias"] = p["logit_bias"].reshape(())
 
-    if getattr(cfg, "is_convnext", False):
-        from xclip_tpu.models.convnext import convnext_params_to_state_dict
+    if getattr(cfg, "is_native_timm", False):
+        from xclip_tpu.models import native_timm
 
         sd.update({f"visual.{k}": v for k, v in
-                   convnext_params_to_state_dict(nested["visual"], cfg.vision).items()})
-    elif getattr(cfg, "is_timm_vit", False):
-        from xclip_tpu.models.timm_vit import timm_vit_params_to_state_dict
-
-        sd.update({f"visual.{k}": v for k, v in
-                   timm_vit_params_to_state_dict(nested["visual"], cfg.vision).items()})
-    elif getattr(cfg, "is_eva", False):
-        from xclip_tpu.models.eva import eva_params_to_state_dict
-
-        sd.update({f"visual.{k}": v for k, v in
-                   eva_params_to_state_dict(nested["visual"], cfg.vision).items()})
+                   native_timm.params_to_state_dict(nested["visual"], cfg.vision).items()})
     elif cfg.is_resnet:
         for i in (1, 2, 3):
             sd[f"visual.conv{i}.weight"] = np.transpose(p[f"visual{SEP}stem{SEP}conv{i}{SEP}kernel"], (3, 2, 0, 1))

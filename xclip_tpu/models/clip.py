@@ -63,6 +63,13 @@ class CLIPCfg:
         return isinstance(self.vision, EvaCfg)
 
     @property
+    def is_native_timm(self) -> bool:
+        """Any of the native timm-tower families (models/native_timm.py)."""
+        from xclip_tpu.models import native_timm
+
+        return native_timm.is_native_timm(self.vision)
+
+    @property
     def image_size(self) -> int:
         return self.vision.image_size
 
@@ -87,26 +94,11 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
     act = "quick_gelu" if quick_gelu else "gelu"
     if "timm_model_name" in v:
         # timm towers: native JAX implementations only (timm absent from
-        # this image) — the convnext family (models/convnext.py), the
-        # timm ViT family (SigLIP ViTs / gap / relpos, models/timm_vit.py)
-        # and the EVA01/EVA02 family (models/eva.py)
-        from xclip_tpu.models import eva, timm_vit
-        from xclip_tpu.models.convnext import VARIANTS as CONVNEXT_VARIANTS
-        from xclip_tpu.models.convnext import convnext_cfg_from_vision_dict
+        # this image) — dispatched per-family through models/native_timm.py
+        # (convnext, timm-ViT/SigLIP, EVA01/02, swin, ...)
+        from xclip_tpu.models import native_timm
 
-        name = v["timm_model_name"]
-        if name in CONVNEXT_VARIANTS:
-            vision = convnext_cfg_from_vision_dict(v, embed_dim)
-        elif name in timm_vit.VARIANTS:
-            vision = timm_vit.timm_vit_cfg_from_vision_dict(v, embed_dim)
-        elif name in eva.VARIANTS:
-            vision = eva.eva_cfg_from_vision_dict(v, embed_dim)
-        else:
-            raise NotImplementedError(
-                f"timm tower {name!r} is not natively implemented (timm is "
-                f"absent from this environment); native variants: "
-                f"{sorted(CONVNEXT_VARIANTS) + sorted(timm_vit.VARIANTS) + sorted(eva.VARIANTS)}"
-            )
+        vision = native_timm.cfg_from_vision_dict(v, embed_dim)
     elif isinstance(v.get("layers"), (list, tuple)):
         head_width = v.get("head_width", 64)
         vision = R.ResNetCfg(
@@ -195,18 +187,10 @@ class CLIPModel:
         kv, kt = jax.random.split(rng)
         if self.cfg.is_resnet:
             vparams, vstate = R.resnet_init(kv, self.cfg.vision)
-        elif self.cfg.is_convnext:
-            from xclip_tpu.models.convnext import convnext_init
+        elif self.cfg.is_native_timm:
+            from xclip_tpu.models import native_timm
 
-            vparams, vstate = convnext_init(kv, self.cfg.vision), {}
-        elif self.cfg.is_timm_vit:
-            from xclip_tpu.models.timm_vit import timm_vit_init
-
-            vparams, vstate = timm_vit_init(kv, self.cfg.vision), {}
-        elif self.cfg.is_eva:
-            from xclip_tpu.models.eva import eva_init
-
-            vparams, vstate = eva_init(kv, self.cfg.vision), {}
+            vparams, vstate = native_timm.init(kv, self.cfg.vision), {}
         else:
             vparams, vstate = T.vit_init(kv, self.cfg.vision), {}
         if self.cfg.is_hf_text:
@@ -243,26 +227,10 @@ class CLIPModel:
                 params["visual"], state["visual"], x, self.cfg.vision,
                 train=train, dtype=dtype, capture=capture, remat=remat,
             )
-        elif self.cfg.is_convnext:
-            from xclip_tpu.models.convnext import convnext_apply
+        elif self.cfg.is_native_timm:
+            from xclip_tpu.models import native_timm
 
-            feats, inters = convnext_apply(
-                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
-                remat=remat, train=train, rng=rng,
-            )
-            vstate = state["visual"]
-        elif self.cfg.is_timm_vit:
-            from xclip_tpu.models.timm_vit import timm_vit_apply
-
-            feats, inters = timm_vit_apply(
-                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
-                remat=remat, train=train, rng=rng,
-            )
-            vstate = state["visual"]
-        elif self.cfg.is_eva:
-            from xclip_tpu.models.eva import eva_apply
-
-            feats, inters = eva_apply(
+            feats, inters = native_timm.apply(
                 params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
                 remat=remat, train=train, rng=rng,
             )
@@ -345,16 +313,8 @@ class CLIPModel:
     def visual_stage_names(self):
         if self.cfg.is_resnet:
             return R.resnet_stage_names(self.cfg.vision)
-        if self.cfg.is_convnext:
-            from xclip_tpu.models.convnext import convnext_stage_names
+        if self.cfg.is_native_timm:
+            from xclip_tpu.models import native_timm
 
-            return convnext_stage_names(self.cfg.vision)
-        if self.cfg.is_timm_vit:
-            from xclip_tpu.models.timm_vit import timm_vit_stage_names
-
-            return timm_vit_stage_names(self.cfg.vision)
-        if self.cfg.is_eva:
-            from xclip_tpu.models.eva import eva_stage_names
-
-            return eva_stage_names(self.cfg.vision)
+            return native_timm.stage_names(self.cfg.vision)
         return T.vit_stage_names(self.cfg.vision)
