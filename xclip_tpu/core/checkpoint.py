@@ -423,13 +423,13 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         pflat["logit_bias"] = np.asarray(sd["logit_bias"], np.float32).reshape(())
 
     # --- vision tower ---
-    timm_visual = None
+    timm_visual = timm_vstate = None
     if getattr(cfg, "is_native_timm", False):
         # timm-layout tower (visual.trunk.* / visual.head.*): converted
         # wholesale by the family's bridge and merged after unflatten
         from xclip_tpu.models import native_timm
 
-        timm_visual = native_timm.state_dict_to_params(
+        timm_visual, timm_vstate = native_timm.state_dict_to_pytrees(
             {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")},
             cfg.vision,
         )
@@ -489,7 +489,11 @@ def open_clip_state_dict_to_pytrees(sd: Dict[str, np.ndarray], model) -> Tuple[D
         params.update(wholesale)
     else:
         params = unflatten_into(params0, pflat)
-    state = unflatten_into(state0, sflat) if sflat else state0
+    if timm_vstate is not None and timm_vstate:
+        state = dict(state0)
+        state["visual"] = timm_vstate
+    else:
+        state = unflatten_into(state0, sflat) if sflat else state0
     return params, state
 
 
@@ -567,8 +571,10 @@ def pytrees_to_open_clip_state_dict(model, params, state) -> Dict[str, np.ndarra
     if getattr(cfg, "is_native_timm", False):
         from xclip_tpu.models import native_timm
 
+        vstate = jax.device_get(state).get("visual", {})
         sd.update({f"visual.{k}": v for k, v in
-                   native_timm.params_to_state_dict(nested["visual"], cfg.vision).items()})
+                   native_timm.pytrees_to_state_dict(
+                       nested["visual"], vstate, cfg.vision).items()})
     elif cfg.is_resnet:
         for i in (1, 2, 3):
             sd[f"visual.conv{i}.weight"] = np.transpose(p[f"visual{SEP}stem{SEP}conv{i}{SEP}kernel"], (3, 2, 0, 1))

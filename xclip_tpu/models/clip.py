@@ -190,7 +190,7 @@ class CLIPModel:
         elif self.cfg.is_native_timm:
             from xclip_tpu.models import native_timm
 
-            vparams, vstate = native_timm.init(kv, self.cfg.vision), {}
+            vparams, vstate = native_timm.init(kv, self.cfg.vision)
         else:
             vparams, vstate = T.vit_init(kv, self.cfg.vision), {}
         if self.cfg.is_hf_text:
@@ -230,11 +230,10 @@ class CLIPModel:
         elif self.cfg.is_native_timm:
             from xclip_tpu.models import native_timm
 
-            feats, inters = native_timm.apply(
-                params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,
-                remat=remat, train=train, rng=rng,
+            feats, vstate, inters = native_timm.apply(
+                params["visual"], state["visual"], x, self.cfg.vision,
+                dtype=dtype, capture=capture, remat=remat, train=train, rng=rng,
             )
-            vstate = state["visual"]
         else:
             feats, inters = T.vit_apply(
                 params["visual"], x, self.cfg.vision, dtype=dtype, capture=capture,

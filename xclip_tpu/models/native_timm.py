@@ -15,6 +15,17 @@ namespace::
     <p>_params_to_state_dict(params, cfg)   # open_clip TimmModel naming
     <p>_state_dict_to_params(sd, cfg)
 
+Stateful families (BatchNorm towers — MobileCLIP) set a module-level
+``HAS_STATE = True`` and instead expose::
+
+    <p>_init(rng, cfg) -> (params, state)
+    <p>_apply(params, state, x, cfg, *, train, ...) -> (feats, state, inters)
+    <p>_pytrees_to_state_dict(params, state, cfg)
+    <p>_state_dict_to_pytrees(sd, cfg) -> (params, state)
+
+The registry's init/apply/pytrees_to_state_dict/state_dict_to_pytrees
+wrappers present ONE uniform stateful-shaped interface for all families.
+
 This module is the single place that knows the family list; CLIPModel and
 the checkpoint bridge dispatch through it instead of growing per-family
 elif chains.
@@ -29,7 +40,8 @@ from typing import Optional
 @functools.lru_cache(maxsize=1)
 def _families():
     """[(CfgClass, module, fn_prefix), ...] — lazy to avoid import cycles."""
-    from xclip_tpu.models import convnext, eva, swin, timm_vit, vitamin
+    from xclip_tpu.models import (convnext, eva, fastvit, mci_vit, swin,
+                                  timm_vit, vitamin)
 
     return (
         (convnext.ConvNeXtCfg, convnext, "convnext"),
@@ -37,6 +49,8 @@ def _families():
         (eva.EvaCfg, eva, "eva"),
         (swin.SwinCfg, swin, "swin"),
         (vitamin.ViTaminCfg, vitamin, "vitamin"),
+        (mci_vit.MciViTCfg, mci_vit, "mci_vit"),
+        (fastvit.FastViTCfg, fastvit, "fastvit"),
     )
 
 
@@ -64,29 +78,52 @@ def cfg_from_vision_dict(v: dict, embed_dim: int):
     )
 
 
-def _fn(vision_cfg, suffix: str):
+def _entry(vision_cfg):
     entry = _entry_of(vision_cfg)
     if entry is None:
         raise TypeError(f"not a native timm tower cfg: {type(vision_cfg)!r}")
-    mod, prefix = entry
+    return entry
+
+
+def _fn(vision_cfg, suffix: str):
+    mod, prefix = _entry(vision_cfg)
     return getattr(mod, f"{prefix}_{suffix}")
 
 
+def has_state(vision_cfg) -> bool:
+    """True for towers with BatchNorm running statistics (MobileCLIP)."""
+    mod, _ = _entry(vision_cfg)
+    return getattr(mod, "HAS_STATE", False)
+
+
 def init(rng, vision_cfg):
-    return _fn(vision_cfg, "init")(rng, vision_cfg)
+    """-> (params, state); state is {} for the stateless (LN-only) families."""
+    out = _fn(vision_cfg, "init")(rng, vision_cfg)
+    return out if has_state(vision_cfg) else (out, {})
 
 
-def apply(params, x, vision_cfg, **kw):
-    return _fn(vision_cfg, "apply")(params, x, vision_cfg, **kw)
+def apply(params, state, x, vision_cfg, *, train=False, **kw):
+    """-> (features, new_state, intermediates)."""
+    if has_state(vision_cfg):
+        return _fn(vision_cfg, "apply")(params, state, x, vision_cfg,
+                                        train=train, **kw)
+    feats, inters = _fn(vision_cfg, "apply")(params, x, vision_cfg,
+                                             train=train, **kw)
+    return feats, state, inters
 
 
 def stage_names(vision_cfg):
     return _fn(vision_cfg, "stage_names")(vision_cfg)
 
 
-def params_to_state_dict(params, vision_cfg):
+def pytrees_to_state_dict(params, state, vision_cfg):
+    if has_state(vision_cfg):
+        return _fn(vision_cfg, "pytrees_to_state_dict")(params, state, vision_cfg)
     return _fn(vision_cfg, "params_to_state_dict")(params, vision_cfg)
 
 
-def state_dict_to_params(sd, vision_cfg):
-    return _fn(vision_cfg, "state_dict_to_params")(sd, vision_cfg)
+def state_dict_to_pytrees(sd, vision_cfg):
+    """-> (params, state); state is {} for the stateless families."""
+    if has_state(vision_cfg):
+        return _fn(vision_cfg, "state_dict_to_pytrees")(sd, vision_cfg)
+    return _fn(vision_cfg, "state_dict_to_params")(sd, vision_cfg), {}
