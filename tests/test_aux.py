@@ -397,3 +397,34 @@ def test_download_pretrained_plumbing(tmp_path, monkeypatch):
     with pytest.raises(AssertionError, match="re-downloaded"):
         with pytest.warns(UserWarning, match="SHA256"):
             P.download_pretrained_from_url(url, cache_dir=str(cache))
+
+
+def test_preprocess_cfg_from_pretrained_tag():
+    """Pretrained tags select their checkpoint's preprocess settings
+    (reference _pcfg/_slpcfg/_apcfg/_mccfg, pretrained.py:29-78, applied in
+    create_model_and_transforms factory.py:382-396)."""
+    from xclip_tpu.models.pretrained import get_preprocess_cfg
+
+    # OpenAI default (fields absent from the catalog entry)
+    d = get_preprocess_cfg("RN50", "openai")
+    assert abs(d["mean"][0] - 0.48145466) < 1e-6
+    assert d["interpolation"] == "bicubic" and d["resize_mode"] == "shortest"
+    # SigLIP: inception mean/std + squash
+    d = get_preprocess_cfg("ViT-B-16-SigLIP", "webli")
+    assert d["mean"] == (0.5, 0.5, 0.5) and d["resize_mode"] == "squash"
+    # CLIPA: imagenet mean/std + bilinear + squash
+    d = get_preprocess_cfg("ViT-L-14-CLIPA", "datacomp1b")
+    assert abs(d["mean"][0] - 0.485) < 1e-6
+    assert d["interpolation"] == "bilinear" and d["resize_mode"] == "squash"
+    # MobileCLIP: identity normalization
+    d = get_preprocess_cfg("MobileCLIP-S1", "datacompdr")
+    assert d["mean"] == (0.0, 0.0, 0.0) and d["std"] == (1.0, 1.0, 1.0)
+    # unknown tag / no tag -> defaults
+    d = get_preprocess_cfg("ViT-B-16-SigLIP", None)
+    assert abs(d["mean"][0] - 0.48145466) < 1e-6
+
+    # end-to-end: transforms built by create_model_and_transforms honor it
+    from xclip_tpu.models.factory import create_model_and_transforms
+
+    _, _, _, t_train, t_val = create_model_and_transforms("ViT-S-32")
+    assert abs(t_val.cfg.mean[0] - 0.48145466) < 1e-6

@@ -187,8 +187,9 @@ def test_aug_cfg_color_jitter_and_grayscale():
     assert np.abs(px[..., 0] - px[..., 1]).max() < 1e-6
     assert np.abs(px[..., 1] - px[..., 2]).max() < 1e-6
 
+    assert aug_cfg_from_dict({"use_timm": True}).use_timm  # native timm branch
     with pytest.raises(ValueError, match="unknown aug_cfg"):
-        aug_cfg_from_dict({"use_timm": True})
+        aug_cfg_from_dict({"auto_augment": "rand-m9"})
 
 
 def test_resize_modes():
@@ -291,3 +292,45 @@ def test_imagenet_v2_dataset(tmp_path):
         assert labels == [0, 5, 10]  # alphabetical sort would give 0,10,5 -> 0,1,2
         img, target = ds[0]
         assert target in (0, 5, 10)
+
+
+def test_aug_cfg_timm_branch_native():
+    """use_timm=True runs the reference's timm create_transform pipeline
+    natively (transform.py:309-332): RRC with an aspect-ratio range,
+    color_jitter off by default, post-normalize pixel-noise RandomErasing."""
+    from xclip_tpu.data.transforms import (AugmentationCfg, aug_cfg_from_dict,
+                                           image_transform, random_erasing)
+
+    cfg = aug_cfg_from_dict({"use_timm": True, "scale": (0.4, 1.0),
+                             "ratio": (0.75, 4 / 3), "re_prob": 1.0,
+                             "re_count": 2})
+    assert cfg.use_timm and cfg.ratio == (0.75, 4 / 3) and cfg.re_prob == 1.0
+    img = Image.fromarray(np.full((64, 80, 3), 128, np.uint8))
+    t = image_transform(32, is_train=True, seed=0, aug_cfg=cfg)
+    out = t(img)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    # re_prob=1: at least one erased box -> high-variance noise pixels exist
+    # in the otherwise-constant image
+    assert float(np.std(out)) > 0.05
+
+    # uint8 shipping path: erasing fills with random bytes
+    t8 = image_transform(32, is_train=True, seed=0, aug_cfg=cfg, to_uint8=True)
+    out8 = t8(img)
+    assert out8.dtype == np.uint8 and int(out8.std()) > 0
+
+    # deterministic per-seed
+    o1 = image_transform(32, is_train=True, seed=7, aug_cfg=cfg)(img)
+    o2 = image_transform(32, is_train=True, seed=7, aug_cfg=cfg)(img)
+    np.testing.assert_allclose(o1, o2)
+
+    # erasing geometry: boxes stay in bounds, count respected (statistically)
+    import random as _random
+    arr = np.zeros((32, 32, 3), np.float32)
+    erased = random_erasing(arr, _random.Random(0), count=1)
+    changed = np.any(erased != 0, axis=-1)
+    assert 0 < changed.sum() < 32 * 32  # some but not all pixels
+
+    # re_prob=0 -> timm branch without erasing is still deterministic RRC
+    cfg0 = AugmentationCfg(use_timm=True, scale=(0.9, 1.0))
+    outs = image_transform(32, is_train=True, seed=3, aug_cfg=cfg0)(img)
+    assert outs.shape == (32, 32, 3)

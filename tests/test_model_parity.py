@@ -193,6 +193,11 @@ def test_config_zoo_matches_reference():
             with open(ref_path) as fh:
                 assert d == json.load(fh), fname
 
+    # complete zoo: every reference config ships here (104/104)
+    if os.path.isdir(ref_dir):
+        missing = sorted(set(os.listdir(ref_dir)) - set(names))
+        assert not missing, f"reference configs not shipped: {missing}"
+
 
 @pytest.mark.slow
 def test_full_rn50_parity():

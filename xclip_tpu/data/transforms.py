@@ -106,12 +106,54 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 class AugmentationCfg:
     """Optional train-time augmentation (reference transform.py:62-77 AugmentationCfg
     + color_jitter/gray_scale wrappers :242-271). Defaults reproduce the plain
-    RandomResizedCrop pipeline."""
+    RandomResizedCrop pipeline.
+
+    ``use_timm=True`` mirrors the reference's timm branch (transform.py:
+    309-332: ``timm.data.create_transform(is_training=True, hflip=0.,
+    re_mode='pixel', ...)``) natively — timm is absent from this image, so
+    the equivalent pipeline (RandomResizedCrop with an aspect-``ratio``
+    range, color_jitter disabled by default, per-pixel-noise RandomErasing
+    via ``re_prob``/``re_count``) is implemented here instead."""
 
     scale: Tuple[float, float] = (0.9, 1.0)
     color_jitter: Optional[Tuple[float, float, float]] = None  # brightness/contrast/saturation
     color_jitter_prob: float = 0.8
     gray_scale_prob: float = 0.0
+    # timm-branch extras (ignored unless use_timm)
+    use_timm: bool = False
+    ratio: Optional[Tuple[float, float]] = None  # RRC aspect range
+    re_prob: float = 0.0  # RandomErasing probability (timm re_mode='pixel')
+    re_count: int = 1
+
+
+def random_erasing(arr: np.ndarray, rng, *, count: int = 1,
+                   area: Tuple[float, float] = (0.02, 1 / 3),
+                   ratio: Tuple[float, float] = (0.3, 10 / 3)) -> np.ndarray:
+    """timm RandomErasing(mode='pixel'): fill up to ``count`` random boxes
+    with per-pixel gaussian noise. Operates on the float HWC array AFTER
+    normalization (timm applies it post-Normalize); on uint8 arrays
+    (device-side normalize) the fill is uniform random bytes — noise either
+    way, documented approximation."""
+    h, w = arr.shape[:2]
+    out = arr.copy()
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(count):
+        for _attempt in range(10):
+            target = h * w * rng.uniform(*area)
+            aspect = math.exp(rng.uniform(*log_ratio))
+            eh = int(round(math.sqrt(target * aspect)))
+            ew = int(round(math.sqrt(target / aspect)))
+            if eh < h and ew < w and eh > 0 and ew > 0:
+                top = rng.randint(0, h - eh)
+                left = rng.randint(0, w - ew)
+                np_rng = np.random.RandomState(rng.randrange(2 ** 31))
+                if out.dtype == np.uint8:
+                    fill = np_rng.randint(0, 256, (eh, ew, arr.shape[2]), np.uint8)
+                else:
+                    fill = np_rng.randn(eh, ew, arr.shape[2]).astype(arr.dtype)
+                out[top:top + eh, left:left + ew] = fill
+                break
+    return out
 
 
 def apply_color_jitter(img: Image.Image, strengths, rng) -> Image.Image:
@@ -152,6 +194,21 @@ class ImageTransform:
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
+        if self.is_train and self.aug.use_timm:
+            # native timm create_transform equivalence (hflip=0, jitter off
+            # by default, post-normalize pixel-noise erasing)
+            img = random_resized_crop(
+                img, self.cfg.size, scale=self.aug.scale,
+                ratio=self.aug.ratio or (3.0 / 4.0, 4.0 / 3.0),
+                interpolation=self.cfg.interpolation, rng=self.rng,
+            )
+            if self.aug.color_jitter:
+                img = apply_color_jitter(img, self.aug.color_jitter, self.rng)
+            arr = (np.asarray(img, dtype=np.uint8) if self.to_uint8
+                   else normalize(np.asarray(img), self.cfg.mean, self.cfg.std))
+            if self.aug.re_prob and self.rng.random() < self.aug.re_prob:
+                arr = random_erasing(arr, self.rng, count=self.aug.re_count)
+            return arr
         if self.is_train:
             img = random_resized_crop(
                 img, self.cfg.size, scale=self.aug.scale,
@@ -215,8 +272,9 @@ def aug_cfg_from_dict(d: Optional[dict]) -> Optional[AugmentationCfg]:
         d["color_jitter"] = (float(cj),) * 3
     elif isinstance(cj, (list, tuple)):
         d["color_jitter"] = tuple(float(v) for v in cj)
-    if "scale" in d and isinstance(d["scale"], (list, tuple)):
-        d["scale"] = tuple(float(v) for v in d["scale"])
+    for key in ("scale", "ratio"):
+        if key in d and isinstance(d[key], (list, tuple)):
+            d[key] = tuple(float(v) for v in d[key])
     allowed = {f.name for f in dataclasses.fields(AugmentationCfg)}
     unknown = set(d) - allowed
     if unknown:

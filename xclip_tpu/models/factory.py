@@ -156,8 +156,13 @@ def create_model_and_transforms(
     pretrained_hf: bool = True,
     seed: int = 0,
 ):
-    """Returns (model, params, state, preprocess_train, preprocess_val)."""
+    """Returns (model, params, state, preprocess_train, preprocess_val).
+
+    Transforms honor the pretrained tag's preprocess settings (SigLIP/CLIPA/
+    MobileCLIP mean/std, interpolation, squash resize — reference
+    factory.py:382-396 merging the _pcfg fields)."""
     from xclip_tpu.data.transforms import image_transform
+    from xclip_tpu.models.pretrained import get_preprocess_cfg
 
     model, params, state = create_model(
         model_name, pretrained=pretrained, precision=precision,
@@ -165,11 +170,17 @@ def create_model_and_transforms(
         force_patch_dropout=force_patch_dropout, pretrained_hf=pretrained_hf,
         seed=seed,
     )
+    # a tag (not a path) selects that checkpoint's preprocess settings;
+    # unknown/absent tags fall back to the OpenAI-CLIP defaults
+    tag = pretrained if (pretrained and not os.path.exists(pretrained)) else None
+    pp = get_preprocess_cfg(model_name, tag)
     image_size = model.cfg.image_size
+    kw = dict(mean=pp["mean"], std=pp["std"], resize_mode=pp["resize_mode"],
+              interpolation=pp["interpolation"])
     return (
         model,
         params,
         state,
-        image_transform(image_size, is_train=True),
-        image_transform(image_size, is_train=False),
+        image_transform(image_size, is_train=True, **kw),
+        image_transform(image_size, is_train=False, **kw),
     )

@@ -55,6 +55,27 @@ def get_pretrained_url(model: str, tag: str) -> str:
     return _PRETRAINED.get(model, {}).get(tag, {}).get("url", "")
 
 
+# open_clip/constants.py defaults; catalog entries without explicit fields
+# use these (the reference's _pcfg, pretrained.py:29-39)
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def get_preprocess_cfg(model: str, tag: Optional[str] = None) -> dict:
+    """Preprocess settings for a (model, pretrained-tag) pair — the
+    reference bakes mean/std/interpolation/resize_mode into each pretrained
+    entry (_pcfg/_slpcfg/_apcfg/_mccfg, pretrained.py:29-78) and
+    create_model_and_transforms applies them (factory.py:382-396). Catalog
+    entries omit the OpenAI-default fields; absent (model, tag) -> defaults."""
+    entry = _PRETRAINED.get(model, {}).get(tag or "", {})
+    return {
+        "mean": tuple(entry.get("mean", OPENAI_DATASET_MEAN)),
+        "std": tuple(entry.get("std", OPENAI_DATASET_STD)),
+        "interpolation": entry.get("interpolation", "bicubic"),
+        "resize_mode": entry.get("resize_mode", "shortest"),
+    }
+
+
 def _cache_dir() -> str:
     return os.path.expanduser(os.environ.get("XCLIP_TPU_CACHE", "~/.cache/xclip_tpu"))
 
