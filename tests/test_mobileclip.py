@@ -297,3 +297,44 @@ def test_fastvit_clip_integration(fastvit_tiny_variant):
     g1, _, _ = model.encode_image(params, _x(), state=tstate, normalize=True)
     g2, _, _ = model.encode_image(params2, _x(), state=state2, normalize=True)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+
+def test_fastvit_trains_through_step(fastvit_tiny_variant):
+    """Stateful BN towers train through the real step: params move AND the
+    pmean'd BN running stats advance (reference trains BN unsynced per
+    device; our step pmeans the stats — documented SyncBN-like choice)."""
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    d = {
+        "embed_dim": 24,
+        "custom_text": True,
+        "vision_cfg": {"image_size": 32, "timm_model_name": "fastvit_test_tiny",
+                       "timm_pool": "avg", "timm_proj": None},
+        "text_cfg": {"context_length": 16, "vocab_size": 64, "width": 24,
+                     "heads": 4, "layers": 2, "no_causal_mask": True},
+    }
+    model = CLIPModel(clip_cfg_from_dict(d))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 10), weight_decay=0.1)
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+    n = jax.device_count()
+    ids = np.random.RandomState(0).randint(1, 63, size=(2, 16)).astype(np.int32)
+    batch = shard_batch(mesh, {"images": np.tile(_x(), (n, 1, 1, 1)),
+                               "texts": np.tile(ids, (n, 1))})
+    # snapshot before the step: its buffers are donated to the jit
+    params0 = jax.tree_util.tree_map(np.asarray, params)
+    bn_before = np.asarray(state["visual"]["stem"][0]["conv_kxk"][0]["bn"]["mean"])
+    params2, state2, _, metrics = step(params, state, tx.init(params), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - jnp.asarray(b)).max()),
+        params2["visual"], params0["visual"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    bn_moved = np.abs(
+        np.asarray(state2["visual"]["stem"][0]["conv_kxk"][0]["bn"]["mean"]) -
+        bn_before).max()
+    assert bn_moved > 0
