@@ -195,7 +195,7 @@ def test_fastvit_state_dict_naming_and_roundtrip():
         ("trunk.stages.0.blocks.0.mlp.fc1.weight", (24, 8, 1, 1)),  # ratio 3
         ("trunk.stages.1.downsample.proj.0.large_conv.conv.weight", (16, 1, 7, 7)),
         ("trunk.stages.1.downsample.proj.0.small_conv.conv.weight", (16, 1, 3, 3)),
-        ("trunk.stages.2.downsample.proj.0.se.fc1.weight", (2, 32, 1, 1)),
+        ("trunk.stages.2.downsample.proj.0.se.fc1.weight", (8, 32, 1, 1)),  # lkc rd 0.25
         ("trunk.stages.3.pos_emb.pos_enc.weight", (64, 1, 7, 7)),
         ("trunk.stages.3.blocks.0.norm.running_mean", (64,)),
         ("trunk.stages.3.blocks.0.token_mixer.qkv.weight", (192, 64)),

@@ -105,9 +105,20 @@ def _convbn_init(rng, k, cin, cout, *, groups=1):
             {"bn": bn_s})
 
 
-def _se_init(rng, dim, rd=16):
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """timm make_divisible: nearest multiple of 8, never below 90% of v."""
+    nv = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if nv < 0.9 * v:
+        nv += divisor
+    return nv
+
+
+def _se_init(rng, dim, rd_ratio=1 / 16):
+    """timm SqueezeExcite: hidden = make_divisible(dim * rd_ratio, 8).
+    MobileOne blocks use the 1/16 default; ReparamLargeKernelConv uses
+    rd_ratio=0.25 (timm fastvit.py)."""
     k1, k2 = jax.random.split(rng)
-    hidden = max(dim // rd, 1)
+    hidden = _make_divisible(dim * rd_ratio)
     return {"fc1": {"kernel": _trunc(k1, (1, 1, dim, hidden)),
                     "bias": jnp.zeros((hidden,), jnp.float32)},
             "fc2": {"kernel": _trunc(k2, (1, 1, hidden, dim)),
@@ -146,7 +157,7 @@ def _lkc_init(rng, cin, cout, *, use_se=False):
     p: Dict = {"large_conv": lp, "small_conv": sp}
     s: Dict = {"large_conv": ls, "small_conv": ss}
     if use_se:
-        p["se"] = _se_init(k3, cout)
+        p["se"] = _se_init(k3, cout, rd_ratio=0.25)
     return p, s
 
 
