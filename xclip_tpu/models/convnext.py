@@ -216,9 +216,7 @@ def convnext_apply(
     capture = set(capture or ())
     inters: Dict[str, jnp.ndarray] = {}
 
-    if dtype is not None:
-        x = x.astype(dtype)
-    y = L.conv_apply(params["stem"]["conv"], x, stride=4)
+    y = L.conv_apply(params["stem"]["conv"], x, stride=4, dtype=dtype)
     y = L.layernorm_apply(params["stem"]["norm"], y, eps=LN_EPS)
     if "stem" in capture:
         inters["stem"] = y
@@ -232,7 +230,7 @@ def convnext_apply(
         if s > 0:
             ds = stage["downsample"]
             y = L.layernorm_apply(ds["norm"], y, eps=LN_EPS)
-            y = L.conv_apply(ds["conv"], y, stride=2)
+            y = L.conv_apply(ds["conv"], y, stride=2, dtype=dtype)
         for b, bp in enumerate(stage["blocks"]):
             if stage_idx >= stop:
                 return y, inters

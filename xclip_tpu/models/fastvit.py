@@ -64,6 +64,7 @@ class FastViTCfg:
     image_size: int = 256
     depths: Tuple[int, ...] = (4, 12, 20, 4)
     dims: Tuple[int, ...] = (64, 128, 256, 512)
+    drop_path_rate: float = 0.0  # timm_drop_path (linear per-block ramp)
 
     @property
     def num_features(self) -> int:
@@ -86,7 +87,9 @@ class FastViTCfg:
 def fastvit_cfg_from_vision_dict(v: dict, embed_dim: int) -> FastViTCfg:
     name = v["timm_model_name"]
     return FastViTCfg(timm_name=name, output_dim=embed_dim,
-                      image_size=v.get("image_size", 256), **VARIANTS[name])
+                      image_size=v.get("image_size", 256),
+                      drop_path_rate=float(v.get("timm_drop_path") or 0.0),
+                      **VARIANTS[name])
 
 
 # ---------------------------------------------------------------------------
@@ -336,20 +339,31 @@ def _gamma(p, y):
     return y * p["gamma"].astype(y.dtype)
 
 
-def _repmixer_block(p, s, x, *, train=False, dtype=None):
+def _drop_path(y, rate: float, train: bool, rng):
+    """timm DropPath: per-sample Bernoulli keep, rescaled by 1/keep."""
+    if train and rate > 0.0 and rng is not None:
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
+        return y * (mask.astype(y.dtype) / keep)
+    return y
+
+
+def _repmixer_block(p, s, x, *, train=False, dtype=None, drop_rate=0.0, rng=None):
     dim = x.shape[-1]
     tm, tms = p["token_mixer"], s["token_mixer"]
     normed, ns = _mobileone(tm["norm"], tms["norm"], x, groups=dim, act=False,
                             train=train, dtype=dtype)
     mixed, ms = _mobileone(tm["mixer"], tms["mixer"], x, groups=dim, act=False,
                            train=train, dtype=dtype)
+    # the RepMixer-internal residual carries no drop-path (timm RepMixer);
+    # only the ConvMlp residual is dropped (RepMixerBlock)
     x = x + _gamma(tm["layer_scale"], mixed - normed)
     y, mlps = _convmlp(p["mlp"], s["mlp"], x, train=train, dtype=dtype)
-    x = x + _gamma(p["layer_scale"], y)
+    x = x + _drop_path(_gamma(p["layer_scale"], y), drop_rate, train, rng)
     return x, {"token_mixer": {"norm": ns, "mixer": ms}, "mlp": mlps}
 
 
-def _attention_block(p, s, x, *, train=False, dtype=None):
+def _attention_block(p, s, x, *, train=False, dtype=None, drop_rate=0.0, rng=None):
     b, h, w, dim = x.shape
     y, bn = L.batchnorm_apply(p["norm"], s["norm"], x, train=train)
     tokens = y.reshape(b, h * w, dim)
@@ -360,9 +374,12 @@ def _attention_block(p, s, x, *, train=False, dtype=None):
     o = L.attention(q, k, v, num_heads=dim // ATTN_HEAD_DIM)
     o = o @ p["token_mixer"]["proj"]["kernel"].astype(o.dtype)
     o = o + p["token_mixer"]["proj"]["bias"].astype(o.dtype)
-    x = x + _gamma(p["layer_scale_1"], o.reshape(b, h, w, dim))
+    r1 = _gamma(p["layer_scale_1"], o.reshape(b, h, w, dim))
+    x = x + _drop_path(r1, drop_rate, train,
+                       jax.random.fold_in(rng, 1) if rng is not None else None)
     y, mlps = _convmlp(p["mlp"], s["mlp"], x, train=train, dtype=dtype)
-    x = x + _gamma(p["layer_scale_2"], y)
+    x = x + _drop_path(_gamma(p["layer_scale_2"], y), drop_rate, train,
+                       jax.random.fold_in(rng, 2) if rng is not None else None)
     return x, {"norm": bn, "mlp": mlps}
 
 
@@ -388,12 +405,18 @@ def fastvit_apply(
     stop: Optional[int] = None,
 ):
     """NHWC images -> (features (B, output_dim), new_state, intermediates)."""
-    del rng
     names = fastvit_stage_names(cfg)
     stop = len(names) if stop is None else stop
     capture = set(capture or ())
     inters: Dict[str, jnp.ndarray] = {}
-    new_state: Dict = {"stem": [], "stages": []}
+    # pre-populate with the incoming state so early `stop` returns stay
+    # structurally complete (the HAS_STATE contract: new_state always has
+    # the same treedef as state); visited nodes are overwritten below
+    new_state: Dict = {
+        "stem": list(state["stem"]),
+        "stages": [dict(ss, blocks=list(ss["blocks"])) for ss in state["stages"]],
+        "final_conv": state["final_conv"],
+    }
 
     d0 = cfg.dims[0]
     y = x
@@ -401,14 +424,20 @@ def fastvit_apply(
             zip(params["stem"], state["stem"], (2, 2, 1), (1, d0, 1), (3, 3, 1))):
         y, ns = _mobileone(sp, ss, y, stride=stride, groups=groups,
                            train=train, dtype=dtype)
-        new_state["stem"].append(ns)
+        new_state["stem"][j] = ns
     if "stem" in capture:
         inters["stem"] = y
 
     idx = 1
     prev = d0
+    n_blocks = sum(cfg.depths)
+    # timm: per-block drop-path rates linearly spaced 0 -> drop_path_rate
+    rates = np.linspace(0.0, cfg.drop_path_rate, n_blocks) if n_blocks > 1 else [0.0]
+    gi = 0
     for i, (sp, ss) in enumerate(zip(params["stages"], state["stages"])):
-        nss: Dict = {"blocks": []}
+        nss = new_state["stages"][i]
+        if idx >= stop:
+            return y, new_state, inters
         if "downsample" in sp:
             lkc_p, mo_p = sp["downsample"]["proj"]
             lkc_s, mo_s = ss["downsample"]["proj"]
@@ -423,17 +452,21 @@ def fastvit_apply(
                     else _repmixer_block)
         for b, (bp, bs) in enumerate(zip(sp["blocks"], ss["blocks"])):
             if idx >= stop:
-                new_state["stages"].append(nss)
                 return y, new_state, inters
-            fn = lambda p, st, inp: block_fn(p, st, inp, train=train, dtype=dtype)
+            block_rng = (jax.random.fold_in(rng, gi)
+                         if (rng is not None and train and cfg.drop_path_rate > 0)
+                         else None)
+            rate = float(rates[gi])
+            fn = lambda p, st, inp: block_fn(p, st, inp, train=train, dtype=dtype,
+                                             drop_rate=rate, rng=block_rng)
             if remat:
                 fn = jax.checkpoint(fn)
             y, nbs = fn(bp, bs, y)
-            nss["blocks"].append(nbs)
+            nss["blocks"][b] = nbs
             if f"stages.{i}.{b}" in capture:
                 inters[f"stages.{i}.{b}"] = y
             idx += 1
-        new_state["stages"].append(nss)
+            gi += 1
         prev = cfg.dims[i]
 
     if idx >= stop:

@@ -56,6 +56,7 @@ class MciViTCfg:
     stem_ks: Tuple[int, int, int] = (4, 2, 2)
     stem_strides: Tuple[int, int, int] = (4, 2, 2)
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0  # timm_drop_path (linear per-block ramp)
 
     @property
     def grid(self) -> int:
@@ -85,7 +86,9 @@ class MciViTCfg:
 def mci_vit_cfg_from_vision_dict(v: dict, embed_dim: int) -> MciViTCfg:
     name = v["timm_model_name"]
     return MciViTCfg(timm_name=name, output_dim=embed_dim,
-                     image_size=v.get("image_size", 224), **VARIANTS[name])
+                     image_size=v.get("image_size", 224),
+                     drop_path_rate=float(v.get("timm_drop_path") or 0.0),
+                     **VARIANTS[name])
 
 
 # ---------------------------------------------------------------------------
@@ -146,17 +149,30 @@ def mci_vit_init(rng, cfg: MciViTCfg) -> Tuple[Dict, Dict]:
 # forward
 
 
-def _block_apply(p, x, *, heads: int, dtype=None):
+def _drop_path(y, rate: float, train: bool, rng):
+    if train and rate > 0.0 and rng is not None:
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
+        return y * (mask.astype(y.dtype) / keep)
+    return y
+
+
+def _block_apply(p, x, *, heads: int, dtype=None, drop_rate=0.0, train=False,
+                 rng=None):
     y = L.layernorm_apply(p["norm1"], x, eps=LN_EPS)
     qkv = L.linear_apply(p["attn"]["qkv"], y, dtype=dtype)
     d = x.shape[-1]
     q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
     o = L.attention(q, k, v, num_heads=heads)
-    x = x + L.linear_apply(p["attn"]["proj"], o, dtype=dtype)
+    o = L.linear_apply(p["attn"]["proj"], o, dtype=dtype)
+    x = x + _drop_path(o, drop_rate, train,
+                       jax.random.fold_in(rng, 1) if rng is not None else None)
     y = L.layernorm_apply(p["norm2"], x, eps=LN_EPS)
     y = L.linear_apply(p["mlp"]["fc1"], y, dtype=dtype)
     y = L.gelu(y)
-    return x + L.linear_apply(p["mlp"]["fc2"], y, dtype=dtype)
+    y = L.linear_apply(p["mlp"]["fc2"], y, dtype=dtype)
+    return x + _drop_path(y, drop_rate, train,
+                          jax.random.fold_in(rng, 2) if rng is not None else None)
 
 
 def mci_vit_stage_names(cfg: MciViTCfg) -> List[str]:
@@ -177,7 +193,6 @@ def mci_vit_apply(
     stop: Optional[int] = None,
 ):
     """NHWC images -> (features (B, output_dim), new_state, intermediates)."""
-    del rng
     n_stages = cfg.layers + 2
     stop = n_stages if stop is None else stop
     capture = set(capture or ())
@@ -204,10 +219,17 @@ def mci_vit_apply(
     if "embed" in capture:
         inters["embed"] = xx
 
+    rates = (np.linspace(0.0, cfg.drop_path_rate, cfg.layers)
+             if cfg.layers > 1 else [0.0])
     for i, bp in enumerate(params["blocks"]):
         if 1 + i >= stop:
             return xx, new_state, inters
-        fn = lambda p, inp: _block_apply(p, inp, heads=cfg.heads, dtype=dtype)
+        block_rng = (jax.random.fold_in(rng, i)
+                     if (rng is not None and train and cfg.drop_path_rate > 0)
+                     else None)
+        rate = float(rates[i])
+        fn = lambda p, inp: _block_apply(p, inp, heads=cfg.heads, dtype=dtype,
+                                         drop_rate=rate, train=train, rng=block_rng)
         if remat:
             fn = jax.checkpoint(fn)
         xx = fn(bp, xx)

@@ -204,14 +204,17 @@ def _window_attention(p, x, *, heads: int, window: int, mask: Optional[np.ndarra
     qkv = L.linear_apply(p["qkv"], x, dtype=dtype)
     qkv = qkv.reshape(b, nw, n, 3, heads, hd)
     q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * (hd ** -0.5), k)
+    # fp32 logit accumulation + fp32 bias/mask adds (as L.attention does —
+    # the ~0.02-magnitude rel-pos bias would round off in a bf16 add)
+    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k,
+                      preferred_element_type=jnp.float32) * (hd ** -0.5)
     idx = _relative_position_index(window).reshape(-1)
     bias = jnp.take(p["relative_position_bias_table"], idx, axis=0)
     bias = bias.reshape(n, n, heads).transpose(2, 0, 1)  # (heads, w², w²)
-    attn = attn + bias[None, None].astype(attn.dtype)
+    attn = attn + bias[None, None].astype(jnp.float32)
     if mask is not None:
-        attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        attn = attn + jnp.asarray(mask)[None, :, None]
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
     o = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
     return L.linear_apply(p["proj"], o, dtype=dtype)
 
@@ -238,14 +241,14 @@ def _block_apply(p, x, *, heads: int, window: int, shift: int, dtype=None):
     return x + y
 
 
-def _patch_merge(p, x):
+def _patch_merge(p, x, *, dtype=None):
     """(B,H,W,C) -> (B,H/2,W/2,2C): concat order [(0,0),(1,0),(0,1),(1,1)]
     (dh,dw) offsets — the swin PatchMerging x0..x3 layout."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
     x = x.reshape(b, h // 2, w // 2, 4 * c)
     x = L.layernorm_apply(p["norm"], x, eps=LN_EPS)
-    return L.linear_apply(p["reduction"], x)
+    return L.linear_apply(p["reduction"], x, dtype=dtype)
 
 
 def swin_stage_names(cfg: SwinCfg) -> List[str]:
@@ -275,9 +278,17 @@ def swin_apply(
     capture = set(capture or ())
     inters: Dict[str, jnp.ndarray] = {}
 
-    if dtype is not None:
-        x = x.astype(dtype)
-    y = L.conv_apply(params["patch_embed"]["proj"], x, stride=cfg.patch_size)
+    grid0 = x.shape[1] // cfg.patch_size
+    n_stages = len(cfg.depths)
+    bad = [g for g in (grid0 // 2 ** s for s in range(n_stages)) if g % cfg.window]
+    if bad:
+        raise NotImplementedError(
+            f"swin grids {bad} are not multiples of the {cfg.window}x{cfg.window} "
+            f"window (input {x.shape[1]}px); timm pads such maps — unimplemented "
+            f"here, use the native {cfg.window * 2 ** (n_stages - 1)}-divisible sizes"
+        )
+    y = L.conv_apply(params["patch_embed"]["proj"], x, stride=cfg.patch_size,
+                     dtype=dtype)
     y = L.layernorm_apply(params["patch_embed"]["norm"], y, eps=LN_EPS)
     if "embed" in capture:
         inters["embed"] = y
@@ -285,7 +296,7 @@ def swin_apply(
     idx = 1
     for s, stage in enumerate(params["layers"]):
         if s > 0:
-            y = _patch_merge(stage["downsample"], y)
+            y = _patch_merge(stage["downsample"], y, dtype=dtype)
         grid = y.shape[1]
         # shift disabled when the whole map is one window (final 7x7 stage)
         shift = 0 if grid <= cfg.window else cfg.window // 2
