@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclip_tpu.models import layers as L
+from xclip_tpu.models import tower_common as C
 
 LN_EPS = 1e-6
 
@@ -162,15 +163,8 @@ def _apply_rope(x, sin, cos, heads: int):
 # init
 
 
-def _trunc(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2, 2, shape, jnp.float32)
-
-
-def _lin_init(rng, din, dout, *, bias=True, std=0.02):
-    p = {"kernel": _trunc(rng, (din, dout), std)}
-    if bias:
-        p["bias"] = jnp.zeros((dout,), jnp.float32)
-    return p
+from xclip_tpu.models.tower_common import linear_init as _lin_init
+from xclip_tpu.models.tower_common import trunc_init as _trunc
 
 
 def _block_init(rng, cfg: EvaCfg) -> Dict:
@@ -347,14 +341,8 @@ def eva_apply(
 def eva_params_to_state_dict(params, cfg: EvaCfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
-    def put_ln(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["scale"])
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
-
-    def put_lin(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_ln = functools.partial(C.write_ln, sd)
+    put_lin = functools.partial(C.write_linear, sd)
 
     sd["trunk.patch_embed.proj.weight"] = np.transpose(
         np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1))
@@ -392,15 +380,8 @@ def eva_params_to_state_dict(params, cfg: EvaCfg) -> Dict[str, np.ndarray]:
 
 
 def eva_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: EvaCfg) -> Dict:
-    def ln(src):
-        return {"scale": jnp.asarray(np.asarray(sd[f"{src}.weight"])),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
-
-    def lin(src):
-        p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
+    ln = functools.partial(C.read_ln, sd)
+    lin = functools.partial(C.read_linear, sd)
 
     params: Dict = {
         "patch_embed": {

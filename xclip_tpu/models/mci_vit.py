@@ -26,6 +26,7 @@ golden parity is pending a timm-equipped environment (TODO.md).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclip_tpu.models import layers as L
+from xclip_tpu.models import tower_common as C
 
 LN_EPS = 1e-6
 HAS_STATE = True
@@ -95,15 +97,8 @@ def mci_vit_cfg_from_vision_dict(v: dict, embed_dim: int) -> MciViTCfg:
 # init
 
 
-def _trunc(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2, 2, shape, jnp.float32)
-
-
-def _lin_init(rng, din, dout, *, bias=True):
-    p = {"kernel": _trunc(rng, (din, dout))}
-    if bias:
-        p["bias"] = jnp.zeros((dout,), jnp.float32)
-    return p
+from xclip_tpu.models.tower_common import linear_init as _lin_init
+from xclip_tpu.models.tower_common import trunc_init as _trunc
 
 
 def _block_init(rng, cfg: MciViTCfg) -> Dict:
@@ -253,14 +248,8 @@ def mci_vit_apply(
 def mci_vit_pytrees_to_state_dict(params, state, cfg: MciViTCfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
-    def put_ln(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["scale"])
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
-
-    def put_lin(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_ln = functools.partial(C.write_ln, sd)
+    put_lin = functools.partial(C.write_linear, sd)
 
     for i in ("0", "1", "2"):
         cp = params["backbone"][i]["conv"]
@@ -290,21 +279,9 @@ def mci_vit_pytrees_to_state_dict(params, state, cfg: MciViTCfg) -> Dict[str, np
 
 
 def mci_vit_state_dict_to_pytrees(sd: Dict[str, np.ndarray], cfg: MciViTCfg) -> Tuple[Dict, Dict]:
-    def ln(src):
-        return {"scale": jnp.asarray(np.asarray(sd[f"{src}.weight"])),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
-
-    def lin(src):
-        p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
-
-    def conv(src):
-        p = {"kernel": jnp.asarray(np.transpose(np.asarray(sd[f"{src}.weight"]), (2, 3, 1, 0)))}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
+    ln = functools.partial(C.read_ln, sd)
+    lin = functools.partial(C.read_linear, sd)
+    conv = functools.partial(C.read_conv, sd)
 
     bb = "trunk.patch_embed.backbone"
     params: Dict = {

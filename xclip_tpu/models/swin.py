@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclip_tpu.models import layers as L
+from xclip_tpu.models import tower_common as C
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default (timm swin uses it unchanged)
 
@@ -135,15 +136,8 @@ def _window_reverse(x, window: int, grid: int):
 # init
 
 
-def _trunc(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2, 2, shape, jnp.float32)
-
-
-def _lin_init(rng, din, dout, *, bias=True):
-    p = {"kernel": _trunc(rng, (din, dout))}
-    if bias:
-        p["bias"] = jnp.zeros((dout,), jnp.float32)
-    return p
+from xclip_tpu.models.tower_common import linear_init as _lin_init
+from xclip_tpu.models.tower_common import trunc_init as _trunc
 
 
 def _block_init(rng, dim: int, heads: int, cfg: SwinCfg) -> Dict:
@@ -334,14 +328,9 @@ def swin_apply(
 def swin_params_to_state_dict(params, cfg: SwinCfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
-    def put_ln(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["scale"])
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_ln = functools.partial(C.write_ln, sd)
 
-    def put_lin(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_lin = functools.partial(C.write_linear, sd)
 
     sd["trunk.patch_embed.proj.weight"] = np.transpose(
         np.asarray(params["patch_embed"]["proj"]["kernel"]), (3, 2, 0, 1))
@@ -370,15 +359,9 @@ def swin_params_to_state_dict(params, cfg: SwinCfg) -> Dict[str, np.ndarray]:
 
 
 def swin_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: SwinCfg) -> Dict:
-    def ln(src):
-        return {"scale": jnp.asarray(np.asarray(sd[f"{src}.weight"])),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
+    ln = functools.partial(C.read_ln, sd)
 
-    def lin(src):
-        p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
+    lin = functools.partial(C.read_linear, sd)
 
     params: Dict = {
         "patch_embed": {

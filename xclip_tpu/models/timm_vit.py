@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclip_tpu.models import layers as L
+from xclip_tpu.models import tower_common as C
 
 LN_EPS = 1e-6
 
@@ -176,15 +177,8 @@ def _relpos_bias(p, cfg: TimmViTCfg, dtype=None):
 # init
 
 
-def _trunc(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2, 2, shape, jnp.float32)
-
-
-def _lin_init(rng, din, dout, *, bias=True, std=0.02):
-    p = {"kernel": _trunc(rng, (din, dout), std)}
-    if bias:
-        p["bias"] = jnp.zeros((dout,), jnp.float32)
-    return p
+from xclip_tpu.models.tower_common import linear_init as _lin_init
+from xclip_tpu.models.tower_common import trunc_init as _trunc
 
 
 def _block_init(rng, cfg: TimmViTCfg) -> Dict:
@@ -376,14 +370,9 @@ def timm_vit_apply(
 def timm_vit_params_to_state_dict(params, cfg: TimmViTCfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
-    def put_ln(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["scale"])
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_ln = functools.partial(C.write_ln, sd)
 
-    def put_lin(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_lin = functools.partial(C.write_linear, sd)
 
     # NHWC HWIO -> torch OIHW
     sd["trunk.patch_embed.proj.weight"] = np.transpose(
@@ -427,15 +416,9 @@ def timm_vit_params_to_state_dict(params, cfg: TimmViTCfg) -> Dict[str, np.ndarr
 
 
 def timm_vit_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: TimmViTCfg) -> Dict:
-    def ln(src):
-        return {"scale": jnp.asarray(np.asarray(sd[f"{src}.weight"])),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
+    ln = functools.partial(C.read_ln, sd)
 
-    def lin(src):
-        p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
+    lin = functools.partial(C.read_linear, sd)
 
     params: Dict = {
         "patch_embed": {

@@ -34,6 +34,7 @@ golden parity is pending a timm-equipped environment (TODO.md).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -41,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclip_tpu.models import layers as L
+from xclip_tpu.models import tower_common as C
 
 LN_EPS = 1e-6
 
@@ -128,20 +130,13 @@ def vitamin_cfg_from_vision_dict(v: dict, embed_dim: int) -> ViTaminCfg:
 # init
 
 
-def _trunc(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2, 2, shape, jnp.float32)
+from xclip_tpu.models.tower_common import linear_init as _lin_init
+from xclip_tpu.models.tower_common import trunc_init as _trunc
 
 
 def _conv_init(rng, kh, kw, cin, cout, *, groups=1):
     return {"kernel": _trunc(rng, (kh, kw, cin // groups, cout)),
             "bias": jnp.zeros((cout,), jnp.float32)}
-
-
-def _lin_init(rng, din, dout, *, bias=True):
-    p = {"kernel": _trunc(rng, (din, dout))}
-    if bias:
-        p["bias"] = jnp.zeros((dout,), jnp.float32)
-    return p
 
 
 def _mbconv_init(rng, cin: int, cout: int, stride: int) -> Dict:
@@ -382,18 +377,9 @@ def vitamin_apply(
 def vitamin_params_to_state_dict(params, cfg: ViTaminCfg) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
-    def put_ln(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["scale"])
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
-
-    def put_conv(dst, p):
-        sd[f"{dst}.weight"] = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
-        sd[f"{dst}.bias"] = np.asarray(p["bias"])
-
-    def put_lin(dst, p):
-        sd[f"{dst}.weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[f"{dst}.bias"] = np.asarray(p["bias"])
+    put_ln = functools.partial(C.write_ln, sd)
+    put_conv = functools.partial(C.write_conv, sd)
+    put_lin = functools.partial(C.write_linear, sd)
 
     bb = params["backbone"]
     base = "trunk.patch_embed.backbone"
@@ -432,19 +418,9 @@ def vitamin_params_to_state_dict(params, cfg: ViTaminCfg) -> Dict[str, np.ndarra
 
 
 def vitamin_state_dict_to_params(sd: Dict[str, np.ndarray], cfg: ViTaminCfg) -> Dict:
-    def ln(src):
-        return {"scale": jnp.asarray(np.asarray(sd[f"{src}.weight"])),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
-
-    def conv(src):
-        return {"kernel": jnp.asarray(np.transpose(np.asarray(sd[f"{src}.weight"]), (2, 3, 1, 0))),
-                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
-
-    def lin(src):
-        p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
-        if f"{src}.bias" in sd:
-            p["bias"] = jnp.asarray(np.asarray(sd[f"{src}.bias"]))
-        return p
+    ln = functools.partial(C.read_ln, sd)
+    conv = functools.partial(C.read_conv, sd)
+    lin = functools.partial(C.read_linear, sd)
 
     base = "trunk.patch_embed.backbone"
     params: Dict = {
