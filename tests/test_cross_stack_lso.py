@@ -120,14 +120,19 @@ def test_cross_stack_lso_results(tmp_path):
                XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
                           + " --xla_force_host_platform_device_count=8").strip())
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path[:0] = [%r, %r]; "
-         "import jax; jax.config.update('jax_platforms', 'cpu'); "
-         "from test_cross_stack_lso import _run_cross_stack_check; "
-         "_run_cross_stack_check(%r)" % (repo, os.path.join(repo, "tests"), str(tmp_path))],
-        env=env, capture_output=True, text=True, timeout=840,
-    )
+    cmd = [sys.executable, "-c",
+           "import sys; sys.path[:0] = [%r, %r]; "
+           "import jax; jax.config.update('jax_platforms', 'cpu'); "
+           "from test_cross_stack_lso import _run_cross_stack_check; "
+           "_run_cross_stack_check(%r)" % (repo, os.path.join(repo, "tests"), str(tmp_path))]
+    for attempt in range(3):
+        proc = subprocess.run(env=env, capture_output=True, text=True,
+                              timeout=840, args=cmd)
+        if proc.returncode >= 0:
+            break
+        # Killed by a signal (SIGABRT): the known XLA:CPU rendezvous flake
+        # under host contention, not a product failure — retry on a fresh
+        # interpreter. Real check failures exit 1 and are never retried.
     assert proc.returncode == 0, (
         f"cross-stack subprocess failed (rc={proc.returncode})\n"
         f"--- stdout ---\n{proc.stdout[-4000:]}\n--- stderr ---\n{proc.stderr[-4000:]}"
