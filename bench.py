@@ -145,7 +145,7 @@ def run_e2e(model_name: str, per_chip_batch: int, steps: int, warmup: int):
 def main_e2e():
     """Standalone host-fed mode (BENCH_E2E=1)."""
     model_name = os.environ.get("BENCH_MODEL", "RN50")
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     import jax
@@ -188,7 +188,7 @@ def main():
     from xclip_tpu.train.step import TrainStepCfg, make_train_step
 
     model_name = os.environ.get("BENCH_MODEL", "RN50")
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "96"))
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
@@ -204,6 +204,24 @@ def main():
                      local_loss=True),
     )
 
+    # A/B knob: TPU compiler flags via PJRT compiler_options (XLA_FLAGS is
+    # parsed client-side on this relay terminal and rejects TPU flags, but
+    # per-compile options reach the server-side compiler).
+    # e.g. BENCH_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib":"65536"}'
+    compiler_options = os.environ.get("BENCH_COMPILER_OPTIONS")
+    if compiler_options:
+        opts = json.loads(compiler_options)
+        base_jitted = step.jitted
+
+        def step_with_opts(params, state, opt_state, batch, _cache={}):
+            if "compiled" not in _cache:
+                _cache["compiled"] = base_jitted.lower(
+                    params, state, opt_state, batch).compile(compiler_options=opts)
+            return _cache["compiled"](params, state, opt_state, batch)
+
+        step_with_opts.jitted = base_jitted
+        step = step_with_opts
+
     global_batch = per_chip_batch * n_chips
     size = model.cfg.image_size
     rng = np.random.RandomState(0)
@@ -212,8 +230,11 @@ def main():
         "texts": rng.randint(1, 49000, size=(global_batch, 77)).astype(np.int32),
     })
 
-    flops_per_step, bytes_per_step = _step_cost_analysis(
-        step, (params, state, opt_state, batch))
+    if os.environ.get("BENCH_SKIP_COST") == "1":
+        flops_per_step, bytes_per_step = 0.0, 0.0
+    else:
+        flops_per_step, bytes_per_step = _step_cost_analysis(
+            step, (params, state, opt_state, batch))
 
     for _ in range(warmup):
         params, state, opt_state, metrics = step(params, state, opt_state, batch)
@@ -232,32 +253,35 @@ def main():
 
     # secondary: eval-path (encode_image, the LSO feature-extraction hot
     # loop) throughput — reported as an extra key on the same JSON line.
-    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
-    eval_imgs = jax.device_put(rng.randn(eval_batch, size, size, 3).astype(np.float32))
+    eval_per_chip = None
+    if os.environ.get("BENCH_SKIP_EVAL") != "1":
+        eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
+        eval_imgs = jax.device_put(rng.randn(eval_batch, size, size, 3).astype(np.float32))
 
-    @jax.jit
-    def encode(p, s, images):
-        feats, _, _ = model.encode_image(
-            p, images, state=s, normalize=True, dtype=get_policy("bf16").compute_dtype
-        )
-        return feats
+        @jax.jit
+        def encode(p, s, images):
+            feats, _, _ = model.encode_image(
+                p, images, state=s, normalize=True, dtype=get_policy("bf16").compute_dtype
+            )
+            return feats
 
-    feats = encode(params, state, eval_imgs)
-    float(np.asarray(feats)[0, 0])  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(steps):
         feats = encode(params, state, eval_imgs)
-    float(np.asarray(feats)[0, 0])
-    eval_per_chip = eval_batch * steps / (time.perf_counter() - t0)
+        float(np.asarray(feats)[0, 0])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            feats = encode(params, state, eval_imgs)
+        float(np.asarray(feats)[0, 0])
+        eval_per_chip = eval_batch * steps / (time.perf_counter() - t0)
 
     result = {
         "metric": f"{model_name} CLIP train throughput",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-        "eval_images_per_sec_per_chip": round(eval_per_chip, 2),
         "step_time_ms": round(step_time * 1e3, 2),
     }
+    if eval_per_chip is not None:
+        result["eval_images_per_sec_per_chip"] = round(eval_per_chip, 2)
     if flops_per_step > 0:
         # roofline accounting: is the step compute- or bandwidth-limited,
         # and how far from the v5e speed of light is it?

@@ -359,3 +359,31 @@ def test_force_image_size_pos_embed_resize():
     np.testing.assert_allclose(pe, sd_t["visual.positional_embedding"].numpy(), atol=1e-6)
 
     assert get_clip_cfg("ViT-S-32", force_patch_dropout=0.5).vision.patch_dropout == 0.5
+
+
+def test_stage_scan_parity(monkeypatch):
+    """XCLIP_STAGE_SCAN=1 (stage-tail blocks as one lax.scan over stacked
+    params — the cross-block wgrad-batching A/B) is bit-identical to the
+    per-block Python loop: outputs, BN state updates, and grads."""
+    from xclip_tpu.models import resnet as R
+
+    cfg = R.ResNetCfg(layers=(2, 3, 2, 2), width=16, output_dim=64, heads=4, image_size=64)
+    params, state = R.resnet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.numpy.asarray(np.random.RandomState(0).randn(4, 64, 64, 3), jax.numpy.float32)
+
+    def run(flag):
+        monkeypatch.setenv("XCLIP_STAGE_SCAN", flag)
+        y, ns, _ = jax.jit(lambda p, s, xx: R.resnet_apply(p, s, xx, cfg, train=True))(
+            params, state, x)
+        g = jax.jit(jax.grad(
+            lambda p: jax.numpy.sum(R.resnet_apply(p, state, x, cfg, train=True)[0] ** 2)
+        ))(params)
+        return y, ns, g
+
+    y0, ns0, g0 = run("0")
+    y1, ns1, g1 = run("1")
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ns0), jax.tree_util.tree_leaves(ns1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3)

@@ -63,6 +63,18 @@ def main():
                            for v in jax.tree_util.tree_leaves(g)) * 1e-30
         return fn
 
+    def stack_fwd(**kw):
+        def fn(x0):
+            x = x0
+            for i in range(cfg.layers):
+                x = block(tp["blocks"][i], x, **kw)
+            return jnp.sum(x.astype(jnp.float32))
+        return fn
+
+    base_kw = dict(act="gelu", causal=True, use_ln=True)
+    t_fwd = timeit_scan(stack_fwd(**base_kw), x0)
+    print(f"text blocks x12 FWD-ONLY [baseline]: {t_fwd*1e3:7.3f} ms", flush=True)
+
     cases = [
         ("baseline (gelu,causal,ln)", dict(act="gelu", causal=True, use_ln=True)),
         ("relu act", dict(act="relu", causal=True, use_ln=True)),
@@ -73,6 +85,14 @@ def main():
     for name, kw in cases:
         t = timeit_scan(stack_fwdbwd(**kw), x0)
         print(f"text blocks x12 fwd+bwd [{name:<28s}]: {t*1e3:7.3f} ms", flush=True)
+
+    # bf16-LN variant (stats fp32, normalize+affine bf16; layers.XCLIP_LN_BF16)
+    os.environ["XCLIP_LN_BF16"] = "1"
+    t = timeit_scan(stack_fwdbwd(**base_kw), x0)
+    print(f"text blocks x12 fwd+bwd [{'bf16 LN':<28s}]: {t*1e3:7.3f} ms", flush=True)
+    t_fwd16 = timeit_scan(stack_fwd(**base_kw), x0)
+    print(f"text blocks x12 FWD-ONLY [bf16 LN]: {t_fwd16*1e3:7.3f} ms", flush=True)
+    del os.environ["XCLIP_LN_BF16"]
 
 
 if __name__ == "__main__":

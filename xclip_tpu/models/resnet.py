@@ -48,6 +48,14 @@ def _use_s2d_stem() -> bool:
     return _os.environ.get("XCLIP_S2D_STEM", "0") == "1"
 
 
+def _use_stage_scan() -> bool:
+    # run each stage's identical tail blocks (1..n-1: stride 1, no
+    # downsample) as ONE lax.scan over stacked params, so the backward is a
+    # single loop body whose weight-gradient contractions are emitted once
+    # and batched across blocks ("wgrad batching", VERDICT r2 lever b).
+    return _os.environ.get("XCLIP_STAGE_SCAN", "0") == "1"
+
+
 @dataclasses.dataclass(frozen=True)
 class ResNetCfg:
     layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
@@ -261,6 +269,39 @@ def _bottleneck_apply(params, state, x, *, stride: int, train: bool, dtype):
     return jax.nn.relu(out + identity), new_state
 
 
+def _stage_tail_scan(stage_params, stage_state, x, *, train: bool, dtype, remat: bool):
+    """Blocks 1..n-1 of a stage as one ``lax.scan`` over stacked params.
+
+    The tail blocks of each stage share shapes exactly (stride 1, no
+    downsample), so their parameter pytrees stack leaf-wise. XLA then
+    compiles ONE loop body; in the backward scan every block's wgrad
+    contraction reuses the same program with grads written into the stacked
+    accumulator — the implementable form of cross-block wgrad batching.
+    Returns ``(out, [new_state per block])``.
+    """
+    stacked_p = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *stage_params)
+    stacked_s = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *stage_state)
+
+    def body(h, ps):
+        p, s = ps
+        fn = _bottleneck_apply
+        if remat and train:
+            fn = jax.checkpoint(
+                lambda pp, ss, hh: _bottleneck_apply(
+                    pp, ss, hh, stride=1, train=train, dtype=dtype))
+            out, ns = fn(p, s, h)
+        else:
+            out, ns = fn(p, s, h, stride=1, train=train, dtype=dtype)
+        return out, ns
+
+    x, ns_stacked = jax.lax.scan(body, x, (stacked_p, stacked_s))
+    n = len(stage_params)
+    new_states = [
+        jax.tree_util.tree_map(lambda a, _i=i: a[_i], ns_stacked) for i in range(n)
+    ]
+    return x, new_states
+
+
 def attnpool_apply(params, x, *, heads: int, dtype=None):
     """AttentionPool2d over an NHWC feature map -> (B, output_dim)."""
     b, h, w, c = x.shape
@@ -319,19 +360,35 @@ def resnet_apply(
     def maybe_remat(fn):
         return jax.checkpoint(fn) if remat and train else fn
 
-    for idx in range(start, stop):
+    idx = start
+    while idx < stop:
         name = names[idx]
         if name.startswith("stem.act"):
             i = int(name[-1])
             stride = 2 if i == 1 else 1
             x, upd = _stem_act(params, state, x, i, stride=stride, train=train, dtype=dtype)
             new_state["stem"][f"bn{i}"] = upd["stem"][f"bn{i}"]
-        elif name == "stem.avgpool":
-            x = L.avg_pool(x, 2)
         elif name.startswith("layer"):
             stage, block = name.split(".")
             b = int(block)
             stage_idx = int(stage[-1]) - 1
+            n_blocks = cfg.layers[stage_idx]
+            if (
+                _use_stage_scan()
+                and b == 1
+                and idx + n_blocks - 1 <= stop
+                and not any(f"{stage}.{j}" in capture for j in range(1, n_blocks))
+            ):
+                # whole identical tail of the stage in one scan (wgrad batching)
+                x, tail_states = _stage_tail_scan(
+                    [params[stage][j] for j in range(1, n_blocks)],
+                    [state[stage][j] for j in range(1, n_blocks)],
+                    x, train=train, dtype=dtype, remat=remat,
+                )
+                for j in range(1, n_blocks):
+                    new_state[stage][j] = tail_states[j - 1]
+                idx += n_blocks - 1
+                continue
             stride = 1 if stage_idx == 0 or b > 0 else 2
             fn = maybe_remat(
                 lambda p, s, inp, _stride=stride: _bottleneck_apply(
@@ -340,10 +397,13 @@ def resnet_apply(
             )
             x, upd = fn(params[stage][b], state[stage][b], x)
             new_state[stage][b] = upd
+        elif name == "stem.avgpool":
+            x = L.avg_pool(x, 2)
         elif name == "attnpool":
             x = attnpool_apply(params["attnpool"], x, heads=cfg.heads, dtype=dtype)
         else:  # pragma: no cover
             raise AssertionError(name)
         record(name, x)
+        idx += 1
 
     return x, new_state, inters
