@@ -240,3 +240,20 @@ def test_get_data_tar_autodetect(tmp_path):
     data = get_data(args, pre, image_transform(32, is_train=False), get_tokenizer(SMALL_MODEL))
     assert isinstance(data["train"], WdsLoader)
     assert data["train"].num_batches == 64 // (2 * __import__("jax").device_count())
+
+
+def test_training_wandb_offline(tmp_path):
+    """--report-to wandb works without the wandb package: the offline
+    fallback records config + the train metric stream (reference wandb
+    wiring: training/main.py:388-411, train.py:241-248)."""
+    import json
+
+    assert main(_args(tmp_path, "smoke-wandb", ["--report-to", "wandb"])) == 0
+    wdir = tmp_path / "smoke-wandb" / "wandb-offline"
+    assert (wdir / "config.json").exists()
+    cfg = json.loads((wdir / "config.json").read_text())
+    assert cfg["model"] == SMALL_MODEL
+    rows = [json.loads(l) for l in (wdir / "history.jsonl").read_text().splitlines()]
+    assert rows and all("train/loss" in r and "_step" in r for r in rows)
+    summary = json.loads((wdir / "summary.json").read_text())
+    assert "train/samples_per_second" in summary

@@ -174,7 +174,7 @@ def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag:
 
 
 def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info,
-                    tb_writer=None) -> tuple:
+                    tb_writer=None, wandb_run=None) -> tuple:
     data["train"].set_epoch(epoch)
     loader = data["train"]
     num_batches_per_epoch = loader.num_batches
@@ -223,16 +223,20 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
                 f"{samples_per_second_per_gpu:#g}/s/gpu "
                 f"Scale: {float(metrics['logit_scale']):.3f}"
             )
-            if tb_writer is not None:
-                for name, val in [
+            if tb_writer is not None or wandb_run is not None:
+                log_data = [
                     ("train/loss", losses_m.val),
                     ("train/logit_scale", float(metrics["logit_scale"])),
                     ("train/samples_per_second", samples_per_second),
                     ("train/samples_per_second_per_gpu", samples_per_second_per_gpu),
                     ("train/data_time", data_time_m.avg),
                     ("train/batch_time", batch_time_m.avg),
-                ]:
-                    tb_writer.add_scalar(name, val, step)
+                ]
+                if tb_writer is not None:
+                    for name, val in log_data:
+                        tb_writer.add_scalar(name, val, step)
+                if wandb_run is not None:  # reference train.py:241-248
+                    wandb_run.log(dict(log_data), step=step)
             batch_time_m.reset()
             gpu_time_m.reset()
             data_time_m.reset()
@@ -307,6 +311,12 @@ def main(argv=None) -> int:
             tb_writer = SummaryWriter(log_dir=os.path.join(log_base_path, "tensorboard"))
         except ImportError:
             logging.warning("tensorboard unavailable; skipping --report-to tensorboard")
+    args.wandb = "wandb" in args.report_to or "all" in args.report_to
+    wandb_run = None
+    if args.wandb and info.process_index == 0:
+        from xclip_tpu.utils.wandb_logger import init_wandb
+
+        wandb_run = init_wandb(args, log_base_path)
     args.next_log_ckpt_step = 1 if args.save_log_step else 0
 
     if resume_latest:
@@ -466,18 +476,28 @@ def main(argv=None) -> int:
     if "train" not in data:
         metrics = evaluate(model, params, state, data, start_epoch, args, tokenizer)
         _append_results(args, metrics)
+        if wandb_run is not None:
+            wandb_run.log({f"val/{k}": v for k, v in metrics.items()
+                           if isinstance(v, (int, float))})
+            wandb_run.finish()
         return 0
 
     for epoch in range(start_epoch, args.epochs):
         logging.info(f"Start epoch {epoch}")
         params, state, opt_state = train_one_epoch(
-            model, step_fn, params, state, opt_state, data, epoch, args, info, tb_writer
+            model, step_fn, params, state, opt_state, data, epoch, args, info, tb_writer,
+            wandb_run=wandb_run,
         )
         completed_epoch = epoch + 1
 
         if any(k in data for k in ("val", "imagenet-val", "imagenet-v2")):
             metrics = evaluate(model, params, state, data, completed_epoch, args, tokenizer)
             _append_results(args, metrics)
+            if wandb_run is not None:  # reference train.py:241-248
+                wandb_run.log({f"val/{k}": v for k, v in metrics.items()
+                               if isinstance(v, (int, float))},
+                              step=(completed_epoch) * data["train"].num_batches
+                              if "train" in data else None)
 
         if args.save_logs and (
             completed_epoch == args.epochs or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)
@@ -490,6 +510,8 @@ def main(argv=None) -> int:
                 if os.path.exists(prev):
                     os.remove(prev)
 
+    if wandb_run is not None:
+        wandb_run.finish()
     if remote_sync_process is not None:
         from xclip_tpu.utils.file_utils import remote_sync
 

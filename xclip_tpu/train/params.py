@@ -129,6 +129,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
     parser.add_argument("--val-frequency", type=int, default=1)
     parser.add_argument("--report-to", type=str, default="")
+    parser.add_argument("--wandb-notes", type=str, default="",
+                        help="notes for the wandb run (reference params.py)")
+    parser.add_argument("--wandb-project-name", type=str, default="open-clip",
+                        help="wandb project (reference default)")
     parser.add_argument("--remote-sync", type=str, default=None,
                         help="remote dir to sync checkpoints/logs to")
     parser.add_argument("--remote-sync-frequency", type=int, default=300)
