@@ -84,6 +84,12 @@ def train_sae(args):
         logger = SummaryWriter(log_dir=os.path.join(args.out_dir, "tensorboard"))
     except ImportError:
         pass
+    if "wandb" in args.report_to:
+        # reference SAE pipeline logs to TB and wandb (pipeline.py:142-175)
+        from xclip_tpu.utils.wandb_logger import ScalarFanout, init_wandb
+
+        run = init_wandb(args, args.out_dir)
+        logger = ScalarFanout(logger, run)
 
     pipe = Pipeline(
         params,
@@ -146,4 +152,6 @@ if __name__ == "__main__":
     parser.add_argument("--expansion_factor", type=int, default=4)
     parser.add_argument("--num_epochs", type=int, default=200)
     parser.add_argument("--seed", type=int, default=49)
+    parser.add_argument("--report_to", type=str, default="",
+                        help="'wandb' adds a wandb run (offline fallback) next to tensorboard")
     main(parser.parse_args())

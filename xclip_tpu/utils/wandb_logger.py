@@ -59,6 +59,11 @@ class OfflineWandbRun:
         if step is None:
             self._step += 1
 
+    def add_scalar(self, name: str, value, step: Optional[int] = None) -> None:
+        """TB-SummaryWriter surface, so the run can be passed anywhere a
+        tensorboard writer is accepted (e.g. the SAE pipeline's logger)."""
+        self.log({name: float(value)}, step=step)
+
     def watch(self, *args, **kwargs) -> None:  # model gradient watching: n/a
         pass
 
@@ -69,6 +74,22 @@ class OfflineWandbRun:
         with open(os.path.join(self.dir, "summary.json"), "w") as fh:
             json.dump(self._summary, fh, indent=2, sort_keys=True)
         self._history.close()
+
+
+class ScalarFanout:
+    """Fan one ``add_scalar`` stream out to several sinks (TB writer +
+    wandb run), as the reference SAE pipeline logs to both
+    (sparse_autoencoder pipeline.py:142-143,164-175)."""
+
+    def __init__(self, *sinks):
+        self.sinks = [s for s in sinks if s is not None]
+
+    def add_scalar(self, name: str, value, step: Optional[int] = None) -> None:
+        for s in self.sinks:
+            if hasattr(s, "add_scalar"):
+                s.add_scalar(name, value, step)
+            else:  # the real wandb module
+                s.log({name: float(value)}, step=step)
 
 
 def init_wandb(args, log_base_path: str, num_train_samples: Optional[int] = None):
@@ -85,10 +106,11 @@ def init_wandb(args, log_base_path: str, num_train_samples: Optional[int] = None
     try:
         import wandb  # type: ignore
 
+        run_name = getattr(args, "name", None)
         wandb.init(
             project=getattr(args, "wandb_project_name", "open-clip"),
-            name=args.name,
-            id=args.name,
+            name=run_name,
+            id=run_name,
             notes=getattr(args, "wandb_notes", ""),
             tags=[],
             resume="auto" if getattr(args, "resume", None) == "latest" else None,
