@@ -213,14 +213,34 @@ def main():
         opts = json.loads(compiler_options)
         base_jitted = step.jitted
 
-        def step_with_opts(params, state, opt_state, batch, _cache={}):
-            if "compiled" not in _cache:
-                _cache["compiled"] = base_jitted.lower(
-                    params, state, opt_state, batch).compile(compiler_options=opts)
-            return _cache["compiled"](params, state, opt_state, batch)
+        class _CompiledWithOpts:
+            """Single lower+compile with the A/B options; the SAME
+            executable serves the timing loop and the cost analysis, so
+            the roofline numbers describe the executable being timed."""
 
-        step_with_opts.jitted = base_jitted
-        step = step_with_opts
+            def __init__(self):
+                self.compiled = None
+
+            def _get(self, *args):
+                if self.compiled is None:
+                    self.compiled = base_jitted.lower(*args).compile(
+                        compiler_options=opts)
+                return self.compiled
+
+            def __call__(self, *args):
+                return self._get(*args)(*args)
+
+            def lower(self, *args):  # _step_cost_analysis surface
+                outer = self
+
+                class _L:
+                    def compile(self_inner):
+                        return outer._get(*args)
+
+                return _L()
+
+        step = _CompiledWithOpts()
+        step.jitted = step  # cost analysis goes through our lower()
 
     global_batch = per_chip_batch * n_chips
     size = model.cfg.image_size

@@ -84,12 +84,13 @@ def train_sae(args):
         logger = SummaryWriter(log_dir=os.path.join(args.out_dir, "tensorboard"))
     except ImportError:
         pass
+    wandb_run = None
     if "wandb" in args.report_to:
         # reference SAE pipeline logs to TB and wandb (pipeline.py:142-175)
         from xclip_tpu.utils.wandb_logger import ScalarFanout, init_wandb
 
-        run = init_wandb(args, args.out_dir)
-        logger = ScalarFanout(logger, run)
+        wandb_run = init_wandb(args, args.out_dir)
+        logger = ScalarFanout(logger, wandb_run)
 
     pipe = Pipeline(
         params,
@@ -118,6 +119,8 @@ def train_sae(args):
         train_val_fnames=train_val_fnames,
         resample_epoch_freq=args.resample_freq,
     )
+    if wandb_run is not None:
+        wandb_run.finish()  # flushes the offline summary.json
 
 
 def main(args):

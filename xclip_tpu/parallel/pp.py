@@ -21,7 +21,6 @@ live — is pipelined.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -115,54 +115,14 @@ def shard_params_tp(mesh: Mesh, params):
 def make_train_step_tp(model, optimizer, mesh: Mesh, cfg=None):
     """Jitted TP train step over a (data, model) mesh.
 
-    Same global math as :func:`xclip_tpu.train.step_pjit.make_train_step_pjit`
-    (it IS that step's loss/update body); params/opt_state shardings come
-    from the committed inputs (use :func:`shard_params_tp` + ``tx.init`` on
-    the sharded params), the batch is sharded over ``data`` only, and the
-    SPMD partitioner derives every TP collective from the annotations.
+    This IS :func:`xclip_tpu.train.step_pjit.make_train_step_pjit` in its
+    committed-inputs mode: params/opt_state shardings come from the
+    committed arguments (use :func:`shard_params_tp` + ``tx.init`` on the
+    sharded params), the batch is sharded over ``data`` only, and the SPMD
+    partitioner derives every TP collective from the annotations.
     """
-    import jax.numpy as jnp
-    import optax
+    from xclip_tpu.train.step import TrainStepCfg
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
 
-    from xclip_tpu.core.precision import get_policy
-    from xclip_tpu.train.loss import clip_loss
-    from xclip_tpu.train.step import TrainStepCfg, _norm_tree, normalize_images
-
-    cfg = cfg or TrainStepCfg()
-    compute_dtype = get_policy(cfg.precision).compute_dtype
-
-    def step(params, state, opt_state, batch):
-        images = normalize_images(batch["images"], cfg)
-
-        def loss_fn(p):
-            out = model.forward(
-                p, images, batch["texts"], state=state, train=True,
-                dtype=compute_dtype, remat=cfg.grad_checkpointing,
-            )
-            loss = clip_loss(
-                out["image_features"], out["text_features"], out["logit_scale"])
-            return loss, out["state"]
-
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        new_params = dict(new_params)
-        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0, jnp.log(100.0))
-        metrics = {
-            "loss": loss,
-            "grad_norm": _norm_tree(grads),
-            "logit_scale": jnp.exp(new_params["logit_scale"]),
-        }
-        return new_params, new_state, new_opt_state, metrics
-
-    batch_sh = {
-        "images": NamedSharding(mesh, P(DATA_AXIS)),
-        "texts": NamedSharding(mesh, P(DATA_AXIS)),
-    }
-    replicated = NamedSharding(mesh, P())
-    return jax.jit(
-        step,
-        in_shardings=(None, None, None, batch_sh),
-        out_shardings=(None, replicated, None, replicated),
-        donate_argnums=(0, 1, 2),
-    )
+    return make_train_step_pjit(
+        model, optimizer, mesh, cfg or TrainStepCfg(), committed_inputs=True)

@@ -496,8 +496,7 @@ def main(argv=None) -> int:
             if wandb_run is not None:  # reference train.py:241-248
                 wandb_run.log({f"val/{k}": v for k, v in metrics.items()
                                if isinstance(v, (int, float))},
-                              step=(completed_epoch) * data["train"].num_batches
-                              if "train" in data else None)
+                              step=completed_epoch * data["train"].num_batches)
 
         if args.save_logs and (
             completed_epoch == args.epochs or (args.save_frequency > 0 and completed_epoch % args.save_frequency == 0)

@@ -54,10 +54,14 @@ def make_train_step_pjit(
     example_params=None,
     example_opt_state=None,
     min_shard_size: int = 2**14,
+    committed_inputs: bool = False,
 ) -> Callable:
     """Build the pjit step. With ``shard_params`` the caller should
     device_put params/opt_state with :func:`zero_sharding` (the returned
-    shardings are also used as in/out annotations)."""
+    shardings are also used as in/out annotations). With
+    ``committed_inputs`` the params/state/opt-state shardings are taken
+    from the committed arguments instead of annotations (the TP path:
+    parallel/tp.py shards the params, tx.init inherits them)."""
     from xclip_tpu.core.precision import get_policy
 
     compute_dtype = get_policy(cfg.precision).compute_dtype
@@ -103,6 +107,13 @@ def make_train_step_pjit(
         "images": NamedSharding(mesh, P(DATA_AXIS)),
         "texts": NamedSharding(mesh, P(DATA_AXIS)),
     }
+    if committed_inputs:
+        return jax.jit(
+            step,
+            in_shardings=(None, None, None, batch_sh),
+            out_shardings=(None, replicated, None, replicated),
+            donate_argnums=(0, 1, 2),
+        )
     if shard_params:
         assert example_params is not None and example_opt_state is not None
         param_sh = zero_sharding(mesh, example_params, min_size=min_shard_size)
