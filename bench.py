@@ -177,6 +177,47 @@ def _step_cost_analysis(step, args):
         return 0.0, 0.0
 
 
+def _roofline_anchors(steps: int = 10):
+    """Measured speed-of-light anchors on THIS device/terminal: peak HBM
+    streaming GB/s (elementwise copy+scale over a large bf16 buffer) and
+    peak MXU TF/s (8192^3 bf16 matmul). The datasheet numbers (819 GB/s,
+    197 TF/s for v5e) can be unreachable through a given client stack —
+    these anchor the MFU/bandwidth ratios to reality."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((512, 1024, 1024), jnp.bfloat16)  # 1 GiB
+
+    @jax.jit
+    def stream(x):
+        return x * jnp.bfloat16(1.000001)
+
+    y = stream(x)
+    float(jnp.sum(y[0, 0, :2]).astype(jnp.float32))  # compile+sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = stream(y)
+    float(jnp.sum(y[0, 0, :2]).astype(jnp.float32))
+    dt = time.perf_counter() - t0
+    gbps = 2 * x.size * x.dtype.itemsize * steps / dt / 1e9  # read + write
+
+    a = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return jnp.dot(a, a, preferred_element_type=jnp.bfloat16)
+
+    b = mm(a)
+    float(jnp.sum(b[0, :2]).astype(jnp.float32))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        b = mm(a)  # in-order device queue: syncing the last syncs them all
+    float(jnp.sum(b[0, :2]).astype(jnp.float32))
+    dt = time.perf_counter() - t0
+    tflops = 2 * (8192 ** 3) * steps / dt / 1e12
+    return round(gbps, 1), round(tflops, 1)
+
+
 def main():
     import jax
     import numpy as np
@@ -315,6 +356,19 @@ def main():
             "effective_hbm_gbps": round(effective_gbps, 1),
             "hbm_utilization": round(effective_gbps / V5E_HBM_GBPS, 4),
         })
+        if os.environ.get("BENCH_SKIP_ANCHORS") != "1":
+            try:
+                streaming_gbps, matmul_tflops = _roofline_anchors()
+                result.update({
+                    # measured speed of light on THIS terminal: the honest
+                    # denominators for the mfu / bandwidth ratios above
+                    "measured_peak_hbm_gbps": streaming_gbps,
+                    "measured_peak_matmul_tflops": matmul_tflops,
+                    "mfu_vs_measured_peak": round(
+                        achieved_tflops / matmul_tflops, 4) if matmul_tflops else None,
+                })
+            except Exception as exn:  # pragma: no cover - backend dependent
+                sys.stderr.write(f"roofline anchors unavailable: {exn}\n")
 
     if os.environ.get("BENCH_SKIP_E2E") != "1":
         try:
