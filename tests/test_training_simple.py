@@ -257,3 +257,24 @@ def test_training_wandb_offline(tmp_path):
     assert rows and all("train/loss" in r and "_step" in r for r in rows)
     summary = json.loads((wdir / "summary.json").read_text())
     assert "train/samples_per_second" in summary
+
+
+def test_training_parallelism_zero(tmp_path):
+    """--parallelism zero: the ZeRO-sharded pjit step through the real CLI."""
+    assert main(_args(tmp_path, "smoke-zero", ["--parallelism", "zero"])) == 0
+    assert (tmp_path / "smoke-zero" / "checkpoints" / "epoch_1.pt").exists()
+
+
+def test_training_parallelism_tp(tmp_path):
+    """--parallelism tp: tensor-parallel 2x4 mesh through the real CLI."""
+    assert main(_args(tmp_path, "smoke-tp",
+                      ["--parallelism", "tp", "--tensor-parallel-size", "4"])) == 0
+    assert (tmp_path / "smoke-tp" / "checkpoints" / "epoch_1.pt").exists()
+
+
+def test_training_parallelism_guard(tmp_path):
+    """pjit-family steps reject the shard_map-only features loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="accum-freq"):
+        main(_args(tmp_path, "smoke-guard", ["--parallelism", "zero", "--accum-freq", "2"]))

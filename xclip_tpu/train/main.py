@@ -419,27 +419,61 @@ def main(argv=None) -> int:
                 lock_text_unlocked_layers=args.lock_text_unlocked_layers,
                 lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
             ))
-        opt_state = tx.init(params)
         distill = bool(args.distill_model and args.distill_pretrained)
-        step_fn = make_train_step(
-            model, tx, mesh,
-            TrainStepCfg(
-                precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
-                local_loss=True,  # the TPU layout is always the local row-block
-                # differentiable gather is free on TPU, so it is the default;
-                # an explicit --gather-with-grad keeps reference CLIs working
-                gather_with_grad=True,
-                grad_checkpointing=args.grad_checkpointing,
-                accum_freq=args.accum_freq,
-                siglip=args.siglip,
-                seed=args.seed,
-                coca=is_coca,
-                coca_caption_loss_weight=args.coca_caption_loss_weight,
-                coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
-                image_mean=tuple(args.image_mean) if args.image_mean else None,
-                image_std=tuple(args.image_std) if args.image_std else None,
-            ),
+        step_cfg = TrainStepCfg(
+            precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
+            local_loss=True,  # the TPU layout is always the local row-block
+            # differentiable gather is free on TPU, so it is the default;
+            # an explicit --gather-with-grad keeps reference CLIs working
+            gather_with_grad=True,
+            grad_checkpointing=args.grad_checkpointing,
+            accum_freq=args.accum_freq,
+            siglip=args.siglip,
+            seed=args.seed,
+            coca=is_coca,
+            coca_caption_loss_weight=args.coca_caption_loss_weight,
+            coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
+            image_mean=tuple(args.image_mean) if args.image_mean else None,
+            image_std=tuple(args.image_std) if args.image_std else None,
         )
+        if args.parallelism != "shard_map":
+            # the pjit-family steps implement the plain contrastive CLIP step
+            unsupported = [
+                name for name, on in [
+                    ("--accum-freq>1", args.accum_freq > 1), ("--siglip", args.siglip),
+                    ("CoCa models", is_coca), ("--distill-*", distill),
+                ] if on
+            ]
+            if unsupported:
+                raise ValueError(
+                    f"--parallelism {args.parallelism} does not support: "
+                    + ", ".join(unsupported) + " (use the default shard_map step)"
+                )
+        if args.parallelism == "zero":
+            from xclip_tpu.train.step_pjit import make_train_step_pjit, zero_sharding
+
+            params = jax.device_put(params, zero_sharding(mesh, params))
+            opt_state = tx.init(params)  # moments inherit the param shardings
+            step_fn = make_train_step_pjit(
+                model, tx, mesh, step_cfg, shard_params=True,
+                example_params=params, example_opt_state=opt_state,
+            )
+        elif args.parallelism == "tp":
+            from xclip_tpu.parallel.tp import (
+                create_mesh_2d, make_train_step_tp, shard_params_tp)
+
+            n_model = args.tensor_parallel_size or jax.device_count()
+            if jax.device_count() % n_model != 0:
+                raise ValueError(
+                    f"--tensor-parallel-size {n_model} does not divide "
+                    f"{jax.device_count()} devices")
+            mesh = create_mesh_2d(jax.device_count() // n_model, n_model)
+            params = shard_params_tp(mesh, params)
+            opt_state = tx.init(params)
+            step_fn = make_train_step_tp(model, tx, mesh, step_cfg)
+        else:
+            opt_state = tx.init(params)
+            step_fn = make_train_step(model, tx, mesh, step_cfg)
         if distill:
             from xclip_tpu.models.factory import create_model as _create
             from xclip_tpu.train.step import make_distill_train_step
@@ -463,6 +497,12 @@ def main(argv=None) -> int:
         params, state, opt_state, extras = load_checkpoint_full(
             args.resume, model, params, state, opt_state
         )
+        if args.parallelism == "tp" and step_fn is not None:
+            # re-commit the loaded (host) params to their TP shardings; the
+            # loaded moments stay replicated (correct, memory-suboptimal)
+            from xclip_tpu.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(mesh, params)
         if isinstance(extras.get("epoch"), int):
             # authoritative: the stored epoch (covers epoch_latest.pt, whose
             # filename carries no number — reference main.py:342-346)

@@ -128,6 +128,15 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="save native .npz checkpoints instead")
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
     parser.add_argument("--val-frequency", type=int, default=1)
+    parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp"],
+                        default="shard_map",
+                        help="training-step parallelism: shard_map data-parallel "
+                             "(default, reference DDP semantics), 'zero' = pjit with "
+                             "ZeRO param/optimizer sharding (FSDP-equivalent), 'tp' = "
+                             "tensor parallel over a 2D (data, model) mesh")
+    parser.add_argument("--tensor-parallel-size", type=int, default=0,
+                        help="model-axis size for --parallelism tp "
+                             "(0 = all devices on the model axis)")
     parser.add_argument("--report-to", type=str, default="")
     parser.add_argument("--wandb-notes", type=str, default="",
                         help="notes for the wandb run (reference params.py)")
