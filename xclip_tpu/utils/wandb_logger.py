@@ -106,6 +106,9 @@ def init_wandb(args, log_base_path: str, num_train_samples: Optional[int] = None
     try:
         import wandb  # type: ignore
 
+        if not callable(getattr(wandb, "init", None)):
+            # e.g. a test stub parked in sys.modules for reference imports
+            raise ImportError("wandb module has no usable init()")
         run_name = getattr(args, "name", None)
         wandb.init(
             project=getattr(args, "wandb_project_name", "open-clip"),
@@ -119,10 +122,10 @@ def init_wandb(args, log_base_path: str, num_train_samples: Optional[int] = None
         logging.info("wandb initialized (project=%s)",
                      getattr(args, "wandb_project_name", "open-clip"))
         return wandb
-    except ImportError:
+    except Exception as exn:  # unavailable/unusable/offline-init failure
         out_dir = os.path.join(log_base_path, "wandb-offline")
         logging.info(
-            "wandb package unavailable; recording the metric stream offline to %s",
-            out_dir,
+            "wandb unavailable (%s); recording the metric stream offline to %s",
+            exn, out_dir,
         )
         return OfflineWandbRun(out_dir, config=config)
