@@ -278,3 +278,12 @@ def test_training_parallelism_guard(tmp_path):
 
     with _pytest.raises(ValueError, match="accum-freq"):
         main(_args(tmp_path, "smoke-guard", ["--parallelism", "zero", "--accum-freq", "2"]))
+
+
+def test_training_profile_steps(tmp_path):
+    """--profile-steps captures a jax.profiler trace of the first steps."""
+    assert main(_args(tmp_path, "smoke-prof", ["--profile-steps", "2"])) == 0
+    prof = tmp_path / "smoke-prof" / "profile"
+    assert prof.exists()
+    # the trace lands as plugins/profile/<run>/*.xplane.pb
+    assert list(prof.rglob("*.xplane.pb")), list(prof.rglob("*"))

@@ -188,6 +188,16 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
 
     next_log_step = getattr(args, "next_log_ckpt_step", 0)
 
+    # --profile-steps: device trace of the first N steps of epoch 0
+    # (jax.profiler == the reference's torch-tb-profiler dev dep, SURVEY §5)
+    profile_steps = getattr(args, "profile_steps", 0) if epoch == 0 else 0
+    profiling = False
+    if profile_steps > 0:
+        trace_dir = os.path.join(os.path.dirname(args.checkpoint_path), "profile")
+        jax.profiler.start_trace(trace_dir)
+        profiling = True
+        logging.info(f"profiling {profile_steps} steps -> {trace_dir}")
+
     needs_rng = getattr(step_fn, "needs_rng", False)
     for i, batch in enumerate(loader):
         step = num_batches_per_epoch * epoch + i
@@ -207,6 +217,10 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
         batch_time_m.update(time.time() - end)
         end = time.time()
         losses_m.update(loss, n=args.batch_size)
+
+        if profiling and i + 1 >= profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
 
         batch_count = i + 1
         if batch_count % args.log_every_n_steps == 0 or batch_count == num_batches_per_epoch:
@@ -247,6 +261,8 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
             args.next_log_ckpt_step = next_log_step = next_log_step * 2
             save_checkpoint(args, model, params, state, opt_state, epoch, step_tag=f"_step_{step}")
 
+    if profiling:  # epoch shorter than --profile-steps
+        jax.profiler.stop_trace()
     return params, state, opt_state
 
 

@@ -128,6 +128,11 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="save native .npz checkpoints instead")
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
     parser.add_argument("--val-frequency", type=int, default=1)
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="capture a jax.profiler trace of the first N train "
+                             "steps of each run into <logs>/<name>/profile/ "
+                             "(view with tensorboard; the torch-tb-profiler "
+                             "equivalent, SURVEY §5)")
     parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp"],
                         default="shard_map",
                         help="training-step parallelism: shard_map data-parallel "
