@@ -75,3 +75,47 @@ def test_pp_stack_roundtrip():
     rt = unstack_block_params(stack_block_params(blocks, N_STAGES), N_BLOCKS)
     for a, b in zip(jax.tree_util.tree_leaves(blocks), jax.tree_util.tree_leaves(rt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_train_step_matches_dp():
+    """The pure-PP CLIP train step (both towers pipelined over a 4-stage
+    mesh) matches the replicated DP pjit step from the same init."""
+    from xclip_tpu.models.factory import create_model
+    from xclip_tpu.parallel.mesh import create_mesh
+    from xclip_tpu.parallel.pp import create_pipe_mesh, make_train_step_pp
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
+
+    model, params, state = create_model("ViT-S-32", precision="fp32")
+    params = jax.tree_util.tree_map(np.asarray, params)
+    state = jax.tree_util.tree_map(np.asarray, state)
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 10, 100), weight_decay=0.2)
+    cfg = TrainStepCfg(precision="fp32")
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(8, 224, 224, 3).astype(np.float32),
+        "texts": rng.randint(1, 49000, size=(8, 77)).astype(np.int32),
+    }
+
+    mesh1 = create_mesh()
+    step_dp = make_train_step_pjit(model, tx, mesh1, cfg)
+    p1 = jax.device_put(params, jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec()))
+    s1 = jax.device_put(state, jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec()))
+    b1 = jax.device_put(batch, {
+        "images": jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec("data")),
+        "texts": jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec("data")),
+    })
+    p1n, _, _, m1 = step_dp(p1, s1, tx.init(p1), b1)
+
+    pmesh = create_pipe_mesh(4)
+    step_pp = make_train_step_pp(model, tx, pmesh, cfg, n_micro=2)
+    rep = jax.sharding.NamedSharding(pmesh, jax.sharding.PartitionSpec())
+    p2 = jax.device_put(params, rep)
+    s2 = jax.device_put(state, rep)
+    b2 = jax.device_put(batch, {"images": rep, "texts": rep})
+    p2n, _, _, m2 = step_pp(p2, s2, tx.init(p2), b2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1n), jax.tree_util.tree_leaves(p2n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)

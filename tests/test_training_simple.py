@@ -287,3 +287,11 @@ def test_training_profile_steps(tmp_path):
     assert prof.exists()
     # the trace lands as plugins/profile/<run>/*.xplane.pb
     assert list(prof.rglob("*.xplane.pb")), list(prof.rglob("*"))
+
+
+def test_training_parallelism_pp(tmp_path):
+    """--parallelism pp: GPipe 4-stage pipeline through the real CLI."""
+    assert main(_args(tmp_path, "smoke-pp",
+                      ["--parallelism", "pp", "--pipeline-parallel-size", "4",
+                       "--pp-microbatches", "2"])) == 0
+    assert (tmp_path / "smoke-pp" / "checkpoints" / "epoch_1.pt").exists()

@@ -140,6 +140,28 @@ def _run_blocks(
 ):
     import os as _os
 
+    from xclip_tpu.parallel import pp as _pp
+
+    pp_ctx = _pp.active()
+    if (
+        pp_ctx is not None
+        and start == 0
+        and stop == len(blocks_params)
+        and not capture
+        and len(blocks_params) % pp_ctx[0].shape[_pp.PIPE_AXIS] == 0
+        and x.shape[0] % pp_ctx[1] == 0
+    ):
+        # full homogeneous stack inside a pipeline_context: GPipe schedule
+        # over the ('pipe',) mesh instead of the sequential loop
+        pmesh, n_micro = pp_ctx
+        stacked = _pp.stack_block_params(
+            list(blocks_params), pmesh.shape[_pp.PIPE_AXIS])
+        return _pp.pipeline_blocks_apply(
+            stacked, x, mesh=pmesh, n_micro=n_micro, heads=heads, act=act,
+            causal=causal, mask=mask, dtype=dtype, ln_eps=ln_eps,
+            attention_impl=attention_impl,
+        )
+
     for i in range(start, stop):
         fn = lambda p, inp: block_apply(p, inp, heads=heads, act=act, mask=mask, dtype=dtype,
                                         attention_impl=attention_impl, causal=causal,

@@ -20,6 +20,7 @@ live — is pipelined.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -63,6 +64,30 @@ def pipe_param_sharding(mesh: Mesh, stacked):
     return jax.tree_util.tree_map(leaf, stacked)
 
 
+# ---------------------------------------------------------------------------
+# model integration: while a pipeline context is active, the transformer
+# towers' block loop (models/transformer._run_blocks) routes full-stack runs
+# through the pipeline instead of the sequential Python loop.
+
+_ACTIVE = None  # (mesh, n_micro) while inside pipeline_context
+
+
+@contextlib.contextmanager
+def pipeline_context(mesh: Mesh, n_micro: int):
+    """Route compatible block stacks through the pipeline during tracing."""
+    global _ACTIVE
+    prev, _ACTIVE = _ACTIVE, (mesh, n_micro)
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+def active():
+    """The (mesh, n_micro) of the enclosing pipeline_context, or None."""
+    return _ACTIVE
+
+
 def pipeline_blocks_apply(
     stacked_params,
     x,
@@ -72,8 +97,10 @@ def pipeline_blocks_apply(
     heads: int,
     act: str = "gelu",
     causal: bool = False,
+    mask=None,
     dtype=None,
     ln_eps: float = 1e-5,
+    attention_impl: str = "einsum",
 ):
     """Run the pipelined block stack over ``x`` (B, T, D) -> (B, T, D).
 
@@ -93,8 +120,8 @@ def pipeline_blocks_apply(
         per = jax.tree_util.tree_leaves(p_stage)[0].shape[0]
         for j in range(per):
             pj = jax.tree_util.tree_map(lambda a, _j=j: a[_j], p_stage)
-            h = block_apply(pj, h, heads=heads, act=act, causal=causal,
-                            dtype=dtype, ln_eps=ln_eps)
+            h = block_apply(pj, h, heads=heads, act=act, causal=causal, mask=mask,
+                            dtype=dtype, ln_eps=ln_eps, attention_impl=attention_impl)
         return h
 
     from jax import shard_map
@@ -144,3 +171,24 @@ def pipeline_blocks_apply(
     micro = x.reshape(n_micro, mb, t, d)
     out = run(stacked_params, micro)
     return out.reshape(b, t, d)
+
+
+def make_train_step_pp(model, optimizer, mesh: Mesh, cfg=None, *, n_micro: int = 4):
+    """Jitted pure-PP CLIP train step over a ('pipe',) mesh.
+
+    The step math is :func:`make_train_step_pjit` (committed-inputs mode,
+    batch replicated — pure pipeline, no data axis); during tracing a
+    :func:`pipeline_context` is active, so both towers' full block stacks
+    route through :func:`pipeline_blocks_apply` (models/transformer.
+    _run_blocks). Params stay in the normal pytree layout (replicated) and
+    are stacked/sharded onto the stages inside the step.
+    """
+    from xclip_tpu.train.step import TrainStepCfg
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
+
+    return make_train_step_pjit(
+        model, optimizer, mesh, cfg or TrainStepCfg(),
+        committed_inputs=True,
+        batch_spec=P(),
+        trace_context=lambda: pipeline_context(mesh, n_micro),
+    )

@@ -487,6 +487,14 @@ def main(argv=None) -> int:
             params = shard_params_tp(mesh, params)
             opt_state = tx.init(params)
             step_fn = make_train_step_tp(model, tx, mesh, step_cfg)
+        elif args.parallelism == "pp":
+            from xclip_tpu.parallel.pp import create_pipe_mesh, make_train_step_pp
+
+            n_stages = args.pipeline_parallel_size or jax.device_count()
+            mesh = create_pipe_mesh(n_stages)
+            opt_state = tx.init(params)
+            step_fn = make_train_step_pp(
+                model, tx, mesh, step_cfg, n_micro=args.pp_microbatches)
         else:
             opt_state = tx.init(params)
             step_fn = make_train_step(model, tx, mesh, step_cfg)

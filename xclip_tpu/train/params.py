@@ -133,15 +133,21 @@ def parse_args(args=None) -> argparse.Namespace:
                              "steps of each run into <logs>/<name>/profile/ "
                              "(view with tensorboard; the torch-tb-profiler "
                              "equivalent, SURVEY §5)")
-    parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp"],
+    parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp", "pp"],
                         default="shard_map",
                         help="training-step parallelism: shard_map data-parallel "
                              "(default, reference DDP semantics), 'zero' = pjit with "
                              "ZeRO param/optimizer sharding (FSDP-equivalent), 'tp' = "
-                             "tensor parallel over a 2D (data, model) mesh")
+                             "tensor parallel over a 2D (data, model) mesh, 'pp' = "
+                             "GPipe pipeline over a ('pipe',) mesh")
     parser.add_argument("--tensor-parallel-size", type=int, default=0,
                         help="model-axis size for --parallelism tp "
                              "(0 = all devices on the model axis)")
+    parser.add_argument("--pipeline-parallel-size", type=int, default=0,
+                        help="stage count for --parallelism pp (0 = all devices; "
+                             "must divide the towers' block counts)")
+    parser.add_argument("--pp-microbatches", type=int, default=4,
+                        help="microbatches per step for --parallelism pp")
     parser.add_argument("--report-to", type=str, default="")
     parser.add_argument("--wandb-notes", type=str, default="",
                         help="notes for the wandb run (reference params.py)")

@@ -55,6 +55,8 @@ def make_train_step_pjit(
     example_opt_state=None,
     min_shard_size: int = 2**14,
     committed_inputs: bool = False,
+    trace_context=None,
+    batch_spec=None,
 ) -> Callable:
     """Build the pjit step. With ``shard_params`` the caller should
     device_put params/opt_state with :func:`zero_sharding` (the returned
@@ -90,7 +92,10 @@ def make_train_step_pjit(
             loss = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
             return loss, out["state"]
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        import contextlib
+
+        with (trace_context() if trace_context else contextlib.nullcontext()):
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_params = dict(new_params)
@@ -103,9 +108,10 @@ def make_train_step_pjit(
         return new_params, new_state, new_opt_state, metrics
 
     replicated = NamedSharding(mesh, P())
+    bspec = P(DATA_AXIS) if batch_spec is None else batch_spec
     batch_sh = {
-        "images": NamedSharding(mesh, P(DATA_AXIS)),
-        "texts": NamedSharding(mesh, P(DATA_AXIS)),
+        "images": NamedSharding(mesh, bspec),
+        "texts": NamedSharding(mesh, bspec),
     }
     if committed_inputs:
         return jax.jit(
