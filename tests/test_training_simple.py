@@ -295,3 +295,11 @@ def test_training_parallelism_pp(tmp_path):
                       ["--parallelism", "pp", "--pipeline-parallel-size", "4",
                        "--pp-microbatches", "2"])) == 0
     assert (tmp_path / "smoke-pp" / "checkpoints" / "epoch_1.pt").exists()
+
+
+def test_training_parallelism_sp(tmp_path):
+    """--parallelism sp: sequence-parallel 4-way token sharding through the
+    real CLI (tower sequences pad up to the mesh size)."""
+    assert main(_args(tmp_path, "smoke-sp",
+                      ["--parallelism", "sp", "--sequence-parallel-size", "4"])) == 0
+    assert (tmp_path / "smoke-sp" / "checkpoints" / "epoch_1.pt").exists()

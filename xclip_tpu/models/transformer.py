@@ -141,6 +141,21 @@ def _run_blocks(
     import os as _os
 
     from xclip_tpu.parallel import pp as _pp
+    from xclip_tpu.parallel import sp as _sp
+
+    sp_mesh = _sp.active()
+    if (
+        sp_mesh is not None
+        and start == 0
+        and stop == len(blocks_params)
+        and not capture
+    ):
+        # full stack inside a sequence_context: tokens sharded over the
+        # ('seq',) mesh, per-block K/V all_gather (parallel/sp.py)
+        return _sp.sequence_blocks_apply(
+            list(blocks_params), x, mesh=sp_mesh, heads=heads, act=act,
+            causal=causal, mask=mask, dtype=dtype, ln_eps=ln_eps,
+        )
 
     pp_ctx = _pp.active()
     if (

@@ -495,6 +495,13 @@ def main(argv=None) -> int:
             opt_state = tx.init(params)
             step_fn = make_train_step_pp(
                 model, tx, mesh, step_cfg, n_micro=args.pp_microbatches)
+        elif args.parallelism == "sp":
+            from xclip_tpu.parallel.sp import create_seq_mesh, make_train_step_sp
+
+            n_seq = args.sequence_parallel_size or jax.device_count()
+            mesh = create_seq_mesh(n_seq)
+            opt_state = tx.init(params)
+            step_fn = make_train_step_sp(model, tx, mesh, step_cfg)
         else:
             opt_state = tx.init(params)
             step_fn = make_train_step(model, tx, mesh, step_cfg)

@@ -133,13 +133,14 @@ def parse_args(args=None) -> argparse.Namespace:
                              "steps of each run into <logs>/<name>/profile/ "
                              "(view with tensorboard; the torch-tb-profiler "
                              "equivalent, SURVEY §5)")
-    parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp", "pp"],
+    parser.add_argument("--parallelism", choices=["shard_map", "zero", "tp", "pp", "sp"],
                         default="shard_map",
                         help="training-step parallelism: shard_map data-parallel "
                              "(default, reference DDP semantics), 'zero' = pjit with "
                              "ZeRO param/optimizer sharding (FSDP-equivalent), 'tp' = "
                              "tensor parallel over a 2D (data, model) mesh, 'pp' = "
-                             "GPipe pipeline over a ('pipe',) mesh")
+                             "GPipe pipeline over a ('pipe',) mesh, 'sp' = sequence "
+                             "parallel: tower tokens sharded over a ('seq',) mesh")
     parser.add_argument("--tensor-parallel-size", type=int, default=0,
                         help="model-axis size for --parallelism tp "
                              "(0 = all devices on the model axis)")
@@ -148,6 +149,9 @@ def parse_args(args=None) -> argparse.Namespace:
                              "must divide the towers' block counts)")
     parser.add_argument("--pp-microbatches", type=int, default=4,
                         help="microbatches per step for --parallelism pp")
+    parser.add_argument("--sequence-parallel-size", type=int, default=0,
+                        help="token-axis shard count for --parallelism sp "
+                             "(0 = all devices on the seq axis)")
     parser.add_argument("--report-to", type=str, default="")
     parser.add_argument("--wandb-notes", type=str, default="",
                         help="notes for the wandb run (reference params.py)")
