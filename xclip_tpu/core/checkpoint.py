@@ -386,12 +386,32 @@ def build_model_from_state_dict(path_or_sd, quick_gelu: bool = True):
     return model, params, state
 
 
+def _resize_text_pos_embed(pe: np.ndarray, target_len: int) -> np.ndarray:
+    """Linear-resample the text positional embedding along the position axis
+    when the model's context_length differs from the checkpoint's — e.g.
+    loading a 77-token checkpoint into a context-32 CLIPA config. Matches the
+    reference's resize_text_pos_embed (open_clip/model.py:557-586):
+    F.interpolate(mode='linear', align_corners=False)."""
+    old = pe.shape[0]
+    if old == target_len:
+        return pe
+    scale = old / target_len
+    coords = np.clip((np.arange(target_len) + 0.5) * scale - 0.5, 0, old - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, old - 1)
+    frac = (coords - lo).astype(np.float32)[:, None]
+    out = pe[lo].astype(np.float32) * (1.0 - frac) + pe[hi].astype(np.float32) * frac
+    return out.astype(pe.dtype)
+
+
 def _map_clip_text(pflat, sd, cfg) -> None:
     # CustomTextCLIP checkpoints (reference model.py:318, e.g. SigLIP
     # configs) carry "text."-prefixed keys; plain CLIP keys are inline
     tp = "text." if "text.token_embedding.weight" in sd else ""
     pflat["text" + SEP + "token_embedding"] = sd[f"{tp}token_embedding.weight"]
-    pflat["text" + SEP + "positional_embedding"] = sd[f"{tp}positional_embedding"]
+    pflat["text" + SEP + "positional_embedding"] = _resize_text_pos_embed(
+        sd[f"{tp}positional_embedding"], cfg.text.context_length
+    )
     if f"{tp}text_projection.weight" in sd:
         # proj_bias=True: torch nn.Linear (out,in) -> our (in,out) kernel
         pflat[f"text{SEP}text_projection{SEP}kernel"] = sd[f"{tp}text_projection.weight"].T
@@ -737,6 +757,17 @@ def load_checkpoint_full(path: str, model, params, state, opt_state=None):
             opt_state = flat_to_opt_state(opt_state, oflat)
         return params, state, opt_state, extras or {}
     if path.endswith(".npz"):
+        # the reference routes .npz through the big_vision SigLIP converter
+        # (open_clip factory.py:148-151); native checkpoints from this stack
+        # are also .npz — disambiguate on the params/t key
+        from xclip_tpu.core.convert import is_big_vision_npz, load_big_vision_weights
+
+        with np.load(path) as probe:
+            bv = is_big_vision_npz(probe.files)
+        if bv:
+            sd = load_big_vision_weights(path)
+            params, state = open_clip_state_dict_to_pytrees(sd, model)
+            return params, state, opt_state, {}
         params, state, extras = load_native(path, model, params, state)
         oflat = extras.pop("opt_flat", None)
         if oflat and opt_state is not None:
@@ -745,6 +776,9 @@ def load_checkpoint_full(path: str, model, params, state, opt_state=None):
     ckpt = _load_torch_ckpt(path)
     bare = "state_dict" not in ckpt
     sd = _tensor_dict_to_numpy(ckpt if bare else ckpt["state_dict"], upcast_fp32=True)
+    from xclip_tpu.core.convert import convert_state_dict
+
+    sd = convert_state_dict(sd)  # 3rd-party detection (reference factory.py:157)
     params, state = open_clip_state_dict_to_pytrees(sd, model)
     extras = {} if bare else {k: ckpt[k] for k in ("epoch", "name") if k in ckpt}
     if not bare and "optimizer" in ckpt and opt_state is not None:
