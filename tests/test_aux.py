@@ -428,3 +428,58 @@ def test_preprocess_cfg_from_pretrained_tag():
 
     _, _, _, t_train, t_val = create_model_and_transforms("ViT-S-32")
     assert abs(t_val.cfg.mean[0] - 0.48145466) < 1e-6
+
+
+def test_world_info_from_env(monkeypatch):
+    """Launcher env discovery follows the reference's variable order
+    (training/distributed.py:43-60)."""
+    from xclip_tpu.parallel.mesh import world_info_from_env
+
+    for v in ("LOCAL_RANK", "RANK", "WORLD_SIZE", "SLURM_PROCID", "SLURM_NTASKS",
+              "SLURM_LOCALID", "PMI_RANK", "PMI_SIZE", "OMPI_COMM_WORLD_RANK",
+              "OMPI_COMM_WORLD_SIZE", "OMPI_COMM_WORLD_LOCAL_RANK",
+              "MPI_LOCALRANKID"):
+        monkeypatch.delenv(v, raising=False)
+    assert world_info_from_env() == (0, 0, 1)
+
+    # SLURM style
+    monkeypatch.setenv("SLURM_PROCID", "3")
+    monkeypatch.setenv("SLURM_NTASKS", "8")
+    monkeypatch.setenv("SLURM_LOCALID", "1")
+    assert world_info_from_env() == (1, 3, 8)
+
+    # torchrun RANK/WORLD_SIZE take precedence over SLURM
+    monkeypatch.setenv("RANK", "5")
+    monkeypatch.setenv("WORLD_SIZE", "16")
+    monkeypatch.setenv("LOCAL_RANK", "2")
+    assert world_info_from_env() == (2, 5, 16)
+
+
+def test_init_distributed_from_env(monkeypatch):
+    """Coordinator resolution: tcp:// dist-url wins, then MASTER_ADDR, then
+    the SLURM nodelist head; single-process is a no-op."""
+    from xclip_tpu.parallel import mesh as M
+
+    for v in ("RANK", "WORLD_SIZE", "MASTER_ADDR", "MASTER_PORT",
+              "SLURM_PROCID", "SLURM_NTASKS", "SLURM_NODELIST",
+              "SLURM_STEP_NODELIST"):
+        monkeypatch.delenv(v, raising=False)
+    calls = []
+    monkeypatch.setattr(M.jax.distributed, "initialize",
+                        lambda coord, n, pid: calls.append((coord, n, pid)))
+    assert M.init_distributed_from_env() == (0, 0, 1)
+    assert calls == []  # single-process: never initializes
+
+    monkeypatch.setenv("RANK", "1")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.2")
+    assert M.init_distributed_from_env() == (0, 1, 4)
+    assert calls[-1] == ("10.0.0.2:29500", 4, 1)
+
+    assert M.init_distributed_from_env("tcp://host9:1234") == (0, 1, 4)
+    assert calls[-1] == ("host9:1234", 4, 1)
+
+    monkeypatch.delenv("MASTER_ADDR")
+    monkeypatch.setenv("SLURM_NODELIST", "node[12-15],node20")
+    assert M.init_distributed_from_env() == (0, 1, 4)
+    assert calls[-1] == ("node12:29500", 4, 1)

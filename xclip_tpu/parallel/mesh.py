@@ -32,6 +32,64 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 
+def world_info_from_env() -> tuple:
+    """(local_rank, global_rank, world_size) from launcher env vars — the
+    reference's discovery order exactly (training/distributed.py:43-60):
+    torchrun-style RANK/WORLD_SIZE, then PMI (SLURM+mpi), SLURM, OMPI."""
+    import os
+
+    local_rank = 0
+    for v in ("LOCAL_RANK", "MPI_LOCALRANKID", "SLURM_LOCALID",
+              "OMPI_COMM_WORLD_LOCAL_RANK"):
+        if v in os.environ:
+            local_rank = int(os.environ[v])
+            break
+    global_rank = 0
+    for v in ("RANK", "PMI_RANK", "SLURM_PROCID", "OMPI_COMM_WORLD_RANK"):
+        if v in os.environ:
+            global_rank = int(os.environ[v])
+            break
+    world_size = 1
+    for v in ("WORLD_SIZE", "PMI_SIZE", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        if v in os.environ:
+            world_size = int(os.environ[v])
+            break
+    return local_rank, global_rank, world_size
+
+
+def init_distributed_from_env(dist_url: Optional[str] = None) -> tuple:
+    """Auto-bootstrap multi-host JAX from launcher env (the reference's
+    init_distributed_device env path, training/distributed.py:63-99).
+
+    ``dist_url`` is the reference's ``--dist-url`` (``env://`` or
+    ``tcp://host:port``); the coordinator address falls back to
+    MASTER_ADDR:MASTER_PORT, then SLURM's first nodelist entry. Returns the
+    (local_rank, global_rank, world_size) triple; single-process setups
+    return without touching jax.distributed.
+    """
+    import os
+
+    local_rank, global_rank, world_size = world_info_from_env()
+    if world_size <= 1:
+        return local_rank, global_rank, world_size
+    coordinator = None
+    if dist_url and dist_url.startswith("tcp://"):
+        coordinator = dist_url[len("tcp://"):]
+    elif os.environ.get("MASTER_ADDR"):
+        coordinator = (os.environ["MASTER_ADDR"] + ":"
+                       + os.environ.get("MASTER_PORT", "29500"))
+    elif os.environ.get("SLURM_STEP_NODELIST") or os.environ.get("SLURM_NODELIST"):
+        nodelist = os.environ.get("SLURM_STEP_NODELIST") or os.environ["SLURM_NODELIST"]
+        # first entry of "host[1-4],other" style lists
+        head = nodelist.split(",")[0]
+        if "[" in head:  # host[1-4] -> host1
+            base, rng = head.split("[", 1)
+            head = base + rng.split("-", 1)[0].split(",", 1)[0].rstrip("]")
+        coordinator = head + ":" + os.environ.get("MASTER_PORT", "29500")
+    jax.distributed.initialize(coordinator, world_size, global_rank)
+    return local_rank, global_rank, world_size
+
+
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_names=(DATA_AXIS,)) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     shape = (len(devices),) if len(axis_names) == 1 else None

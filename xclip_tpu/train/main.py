@@ -284,6 +284,12 @@ def copy_codebase(args) -> int:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    # multi-host bootstrap from launcher env (SLURM/torchrun/OMPI), the
+    # reference's init_distributed_device env path (distributed.py:63-99);
+    # a no-op for single-process runs
+    from xclip_tpu.parallel.mesh import init_distributed_from_env
+
+    init_distributed_from_env(getattr(args, "dist_url", None))
     info = DistInfo.current()
 
     if getattr(args, "detect_anomaly", False):

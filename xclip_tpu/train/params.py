@@ -175,6 +175,10 @@ def parse_args(args=None) -> argparse.Namespace:
                  "--no-set-device-rank", "--force-custom-text"]:
         parser.add_argument(flag, action="store_true", help="accepted for CLI compat; no-op on TPU")
     parser.add_argument("--dist-backend", type=str, default=None, help="no-op: JAX ICI/DCN")
+    parser.add_argument("--dist-url", type=str, default=None,
+                        help="multi-host coordinator ('env://' or 'tcp://host:port'); "
+                             "with launcher env vars set (SLURM/torchrun/OMPI) the "
+                             "coordinator is auto-discovered (reference distributed.py:63-99)")
     parser.add_argument("--device", type=str, default=None, help="no-op: uses jax.devices()")
     parser.add_argument("--force-image-size", type=int, default=None)
     parser.add_argument("--force-patch-dropout", type=float, default=None)
