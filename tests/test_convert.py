@@ -189,3 +189,75 @@ def test_apple_image_trunk_raises_documented():
     with pytest.raises(NotImplementedError, match="timm"):
         convert_state_dict(sd)
     assert convert_state_dict({"visual.ok": np.zeros(1)}) is not None
+
+
+def test_sincos_pos_embed_matches_reference():
+    """get_2d_sincos_pos_embed is value-identical to the reference's
+    (pos_embed.py:20-67), and a sin_cos_2d ViT initializes with it."""
+    import importlib.util
+    import os
+
+    from xclip_tpu.models.transformer import get_2d_sincos_pos_embed
+
+    ref_path = "/root/reference/deps/open_clip/src/open_clip/pos_embed.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree absent")
+    spec = importlib.util.spec_from_file_location("ref_pos_embed", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    for dim, grid, cls in ((16, 4, False), (32, 7, True), (64, 14, True)):
+        ours = get_2d_sincos_pos_embed(dim, grid, cls_token=cls)
+        theirs = ref.get_2d_sincos_pos_embed(dim, grid, cls_token=cls)
+        np.testing.assert_allclose(ours, theirs.astype(np.float32), atol=1e-6)
+
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+
+    d = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32,
+                       "patch_size": 8, "head_width": 8,
+                       "pos_embed_type": "sin_cos_2d"},
+        "text_cfg": {"context_length": 16, "vocab_size": 64, "width": 32,
+                     "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(d))
+    params, _ = model.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["positional_embedding"]),
+        get_2d_sincos_pos_embed(32, 4, cls_token=True), atol=0)
+
+
+def test_sincos_pos_embed_frozen_in_training():
+    """With pos_embed_type='sin_cos_2d' the pos embed never updates while
+    other params do (reference requires_grad=False semantics)."""
+    from xclip_tpu.models.clip import CLIPModel, clip_cfg_from_dict
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+
+    d = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32,
+                       "patch_size": 8, "head_width": 8,
+                       "pos_embed_type": "sin_cos_2d"},
+        "text_cfg": {"context_length": 16, "vocab_size": 64, "width": 32,
+                     "heads": 4, "layers": 2},
+    }
+    model = CLIPModel(clip_cfg_from_dict(d))
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 2, 10), weight_decay=0.2)
+    tx = optim.with_frozen(tx, optim.sincos_freeze_mask(params))
+    mesh = create_mesh()
+    step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        "images": rng.randn(8, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 63, size=(8, 16)).astype(np.int32),
+    })
+    pe0 = np.asarray(params["visual"]["positional_embedding"])
+    conv0 = np.asarray(params["visual"]["conv1"]["kernel"])
+    params2, _, _, _ = step(params, state, tx.init(params), batch)
+    np.testing.assert_array_equal(
+        np.asarray(params2["visual"]["positional_embedding"]), pe0)
+    assert np.abs(np.asarray(params2["visual"]["conv1"]["kernel"]) - conv0).max() > 0

@@ -127,6 +127,7 @@ def clip_cfg_from_dict(d: dict, quick_gelu: bool = False) -> CLIPCfg:
             final_ln_after_pool=bool(v.get("final_ln_after_pool", False)),
             no_ln_pre=bool(v.get("no_ln_pre", False)),
             ls_init_value=v.get("ls_init_value"),
+            pos_embed_type=v.get("pos_embed_type", "learnable"),
         )
     if "hf_model_name" in t:
         from xclip_tpu.models.hf_text import hf_text_cfg_from_dict

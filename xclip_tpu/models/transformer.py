@@ -44,6 +44,10 @@ class VisionTransformerCfg:
     attentional_pool: bool = False  # AttentionalPooler head (model.py:494-530)
     attn_pooler_queries: int = 256
     attn_pooler_heads: int = 8
+    # 'learnable' (default) or 'sin_cos_2d' — fixed MoCo-v3-style embedding
+    # (reference transformer.py:466-476 + pos_embed.py; frozen in training
+    # via train/optim.sincos_freeze_mask)
+    pos_embed_type: str = "learnable"
 
     @property
     def grid(self) -> int:
@@ -202,13 +206,48 @@ def _run_blocks(
 # vision transformer
 
 
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False):
+    """Fixed 2D sine-cosine positional embedding (MoCo v3 style).
+
+    Value-identical to the reference's get_2d_sincos_pos_embed
+    (deps/open_clip/src/open_clip/pos_embed.py:20-67): first half of the
+    channels encode the row coordinate, second half the column, each as
+    [sin | cos] over a 10000^(2i/d) frequency ladder; an optional all-zeros
+    cls row is prepended.
+    """
+    import numpy as np
+
+    assert embed_dim % 4 == 0, embed_dim
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_h, grid_h), axis=0)  # w first, then h
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=float) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb = np.concatenate([_1d(embed_dim // 2, grid[0]), _1d(embed_dim // 2, grid[1])], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros([1, embed_dim]), emb], axis=0)
+    return emb.astype(np.float32)
+
+
 def vit_init(rng, cfg: VisionTransformerCfg):
     keys = jax.random.split(rng, 6)
     scale = cfg.width**-0.5
+    if cfg.pos_embed_type == "learnable":
+        pos = scale * jax.random.normal(keys[2], (cfg.seq_len, cfg.width), jnp.float32)
+    elif cfg.pos_embed_type == "sin_cos_2d":
+        # fixed embedding (reference transformer.py:469-476); excluded from
+        # optimizer updates by train/optim.sincos_freeze_mask
+        pos = jnp.asarray(get_2d_sincos_pos_embed(cfg.width, cfg.grid, cls_token=True))
+    else:
+        raise ValueError(cfg.pos_embed_type)
     params: Dict = {
         "conv1": L.conv_init(keys[0], 3, cfg.width, cfg.patch_size),
         "class_embedding": scale * jax.random.normal(keys[1], (cfg.width,), jnp.float32),
-        "positional_embedding": scale * jax.random.normal(keys[2], (cfg.seq_len, cfg.width), jnp.float32),
+        "positional_embedding": pos,
         "blocks": [],
         "ln_post": L.layernorm_init(cfg.output_dim if cfg.attentional_pool else cfg.width),
         "proj": scale * jax.random.normal(

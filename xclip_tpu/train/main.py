@@ -441,6 +441,10 @@ def main(argv=None) -> int:
                 lock_text_unlocked_layers=args.lock_text_unlocked_layers,
                 lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
             ))
+        if getattr(getattr(model.cfg, "vision", None), "pos_embed_type", "learnable") == "sin_cos_2d":
+            # fixed sin-cos pos embed never updates (reference
+            # transformer.py:472-476, requires_grad=False)
+            tx = optim.with_frozen(tx, optim.sincos_freeze_mask(params))
         distill = bool(args.distill_model and args.distill_pretrained)
         step_cfg = TrainStepCfg(
             precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",

@@ -112,6 +112,18 @@ def with_frozen(tx: optax.GradientTransformation, trainable_mask) -> optax.Gradi
     return optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
 
 
+def sincos_freeze_mask(params) -> dict:
+    """Trainable mask freezing the fixed sin-cos visual positional embedding
+    (reference transformer.py:472-476 creates it with requires_grad=False).
+    Combine with :func:`with_frozen`."""
+
+    def decide(path, leaf):
+        del leaf
+        return _path_name(path) != "visual.positional_embedding"
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def adamw(
     learning_rate: Union[float, Callable],
     *,
