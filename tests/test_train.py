@@ -561,3 +561,39 @@ def test_uint8_batch_normalizes_on_device():
     b2 = shard_batch(mesh, {"images": f32, "texts": texts})
     _, _, _, m2 = step(params, state, tx.init(params), b2)
     np.testing.assert_allclose(l1, float(m2["loss"]), rtol=1e-5, atol=1e-5)
+
+
+def test_pjit_accum_matches_shard_map_accum():
+    """The pjit-family cached-negatives accumulation (step_pjit.accum_grads)
+    matches the shard_map accum step from the same init — the reference's
+    --accum-freq semantics under ZeRO/TP/PP/SP-style steps."""
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
+
+    import optax
+
+    model = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    # SGD so post-step param diffs are proportional to GRAD diffs (Adam's
+    # normalized update flips sign on near-zero-grad elements, amplifying
+    # fp ordering noise to the lr scale)
+    tx = optax.sgd(0.1)
+    cfg = TrainStepCfg(precision="fp32", accum_freq=2)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+
+    ref_step = make_train_step(model, tx, mesh, cfg)
+    p1, _, _, m1 = ref_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params), state, tx.init(params), dict(batch)
+    )
+
+    step = make_train_step_pjit(model, tx, mesh, cfg,
+                                example_params=params, example_opt_state=tx.init(params))
+    p2, _, _, m2 = step(params, state, tx.init(params), batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

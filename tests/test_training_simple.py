@@ -276,8 +276,16 @@ def test_training_parallelism_guard(tmp_path):
     """pjit-family steps reject the shard_map-only features loudly."""
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="accum-freq"):
-        main(_args(tmp_path, "smoke-guard", ["--parallelism", "zero", "--accum-freq", "2"]))
+    with _pytest.raises(ValueError, match="siglip"):
+        main(_args(tmp_path, "smoke-guard", ["--parallelism", "zero", "--siglip"]))
+
+
+def test_training_parallelism_zero_accum(tmp_path):
+    """--parallelism zero composes with --accum-freq (cached-negatives
+    accumulation in the pjit step, step_pjit.accum_grads)."""
+    assert main(_args(tmp_path, "smoke-zero-accum",
+                      ["--parallelism", "zero", "--accum-freq", "2"])) == 0
+    assert (tmp_path / "smoke-zero-accum" / "checkpoints" / "epoch_1.pt").exists()
 
 
 def test_training_profile_steps(tmp_path):

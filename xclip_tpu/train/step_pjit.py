@@ -74,7 +74,7 @@ def make_train_step_pjit(
 
         images = normalize_images(batch["images"], cfg)
 
-        def loss_fn(p):
+        def gathered(p):
             if shard_params:
                 # ZeRO semantics: parameters are STORED sharded but COMPUTE
                 # with a replicated (all-gathered) copy. Without this
@@ -83,19 +83,69 @@ def make_train_step_pjit(
                 # "involuntary full rematerialization" on the backward
                 # transposes. The constraint's transpose reduce-scatters the
                 # grads straight back to the param sharding.
-                p = jax.lax.with_sharding_constraint(
+                return jax.lax.with_sharding_constraint(
                     p, jax.tree_util.tree_map(lambda _: replicated_, p))
+            return p
+
+        def loss_fn(p):
             out = model.forward(
-                p, images, batch["texts"], state=state, train=True,
+                gathered(p), images, batch["texts"], state=state, train=True,
                 dtype=compute_dtype, remat=cfg.grad_checkpointing,
             )
             loss = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
             return loss, out["state"]
 
+        def accum_grads(params):
+            # reference cached-negatives accumulation (train.py:115-164) in
+            # global math — same two-phase scan structure as the shard_map
+            # step (train/step.py): no-grad feature caching, then per-micro
+            # re-forward with the cached others as constant negatives
+            accum = cfg.accum_freq
+            b_micro = images.shape[0] // accum
+            images_m = images.reshape(accum, b_micro, *images.shape[1:])
+            texts_m = batch["texts"].reshape(accum, b_micro, *batch["texts"].shape[1:])
+
+            def fwd(p, s, imgs, txts):
+                out = model.forward(gathered(p), imgs, txts, state=s, train=True,
+                                    dtype=compute_dtype, remat=cfg.grad_checkpointing)
+                return out["image_features"], out["text_features"], out["state"]
+
+            def cache_one(s, xs):
+                fi, ft, s2 = fwd(params, s, xs[0], xs[1])
+                return s2, (fi, ft)
+
+            _, (cached_img, cached_txt) = jax.lax.scan(cache_one, state, (images_m, texts_m))
+            cached_img = jax.lax.stop_gradient(cached_img)
+            cached_txt = jax.lax.stop_gradient(cached_txt)
+
+            def micro(carry, xs):
+                g_acc, loss_acc, s_c = carry
+                j, imgs, txts = xs
+
+                def loss_j(p):
+                    fi, ft, s2 = fwd(p, s_c, imgs, txts)
+                    ai = jax.lax.dynamic_update_index_in_dim(cached_img, fi, j, 0)
+                    at = jax.lax.dynamic_update_index_in_dim(cached_txt, ft, j, 0)
+                    scale = jnp.exp(p["logit_scale"])  # clamp is post-update
+                    loss = clip_loss(ai.reshape(accum * b_micro, -1),
+                                     at.reshape(accum * b_micro, -1), scale)
+                    return loss, s2
+
+                (lj, s2), gj = jax.value_and_grad(loss_j, has_aux=True)(params)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, gj), loss_acc + lj, s2), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (grads, loss_sum, new_state), _ = jax.lax.scan(
+                micro, (zeros, 0.0, state), (jnp.arange(accum), images_m, texts_m))
+            return loss_sum / accum, new_state, grads
+
         import contextlib
 
         with (trace_context() if trace_context else contextlib.nullcontext()):
-            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if cfg.accum_freq > 1:
+                loss, new_state, grads = accum_grads(params)
+            else:
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_params = dict(new_params)
