@@ -597,3 +597,37 @@ def test_pjit_accum_matches_shard_map_accum():
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_pjit_siglip_matches_shard_map():
+    """SigLIP in global math (full-matrix sigmoid loss) equals the shard_map
+    ppermute-ring step: same loss and same grads (SGD, see accum test)."""
+    import optax
+
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
+
+    cfg_d = dict(TINY_VIT)
+    cfg_d["init_logit_bias"] = -10
+    model = CLIPModel(clip_cfg_from_dict(cfg_d))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optax.sgd(0.1)
+    cfg = TrainStepCfg(precision="fp32", siglip=True)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+
+    ref_step = make_train_step(model, tx, mesh, cfg)
+    p1, _, _, m1 = ref_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params), state, tx.init(params), dict(batch)
+    )
+
+    step = make_train_step_pjit(model, tx, mesh, cfg,
+                                example_params=params, example_opt_state=tx.init(params))
+    p2, _, _, m2 = step(params, state, tx.init(params), batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

@@ -276,8 +276,10 @@ def test_training_parallelism_guard(tmp_path):
     """pjit-family steps reject the shard_map-only features loudly."""
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="siglip"):
-        main(_args(tmp_path, "smoke-guard", ["--parallelism", "zero", "--siglip"]))
+    with _pytest.raises(ValueError, match="distill"):
+        main(_args(tmp_path, "smoke-guard",
+                   ["--parallelism", "zero", "--distill-model", "ViT-S-32",
+                    "--distill-pretrained", "x.pt"]))
 
 
 def test_training_parallelism_zero_accum(tmp_path):

@@ -463,11 +463,10 @@ def main(argv=None) -> int:
             image_std=tuple(args.image_std) if args.image_std else None,
         )
         if args.parallelism != "shard_map":
-            # the pjit-family steps implement the contrastive CLIP step
+            # the pjit-family steps implement the contrastive/SigLIP step
             # (incl. cached-negatives --accum-freq, step_pjit.accum_grads)
             unsupported = [
                 name for name, on in [
-                    ("--siglip", args.siglip),
                     ("CoCa models", is_coca), ("--distill-*", distill),
                 ] if on
             ]

@@ -25,7 +25,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xclip_tpu.parallel.mesh import DATA_AXIS
-from xclip_tpu.train.loss import clip_loss
+from xclip_tpu.train.loss import clip_loss, siglip_loss
 from xclip_tpu.train.step import TrainStepCfg, _norm_tree
 
 
@@ -87,12 +87,22 @@ def make_train_step_pjit(
                     p, jax.tree_util.tree_map(lambda _: replicated_, p))
             return p
 
+        def feat_loss(p, img_f, txt_f):
+            # global math: the full feature matrices are in hand, so SigLIP
+            # needs no ppermute ring — the pairwise sigmoid loss over the
+            # global B x B logits equals the ring-accumulated per-device
+            # losses pmean'd (both normalize by the global batch)
+            scale = jnp.exp(p["logit_scale"])
+            if cfg.siglip:
+                return siglip_loss(img_f, txt_f, scale, p.get("logit_bias", 0.0))
+            return clip_loss(img_f, txt_f, scale)
+
         def loss_fn(p):
             out = model.forward(
                 gathered(p), images, batch["texts"], state=state, train=True,
                 dtype=compute_dtype, remat=cfg.grad_checkpointing,
             )
-            loss = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
+            loss = feat_loss(p, out["image_features"], out["text_features"])
             return loss, out["state"]
 
         def accum_grads(params):
@@ -126,9 +136,8 @@ def make_train_step_pjit(
                     fi, ft, s2 = fwd(p, s_c, imgs, txts)
                     ai = jax.lax.dynamic_update_index_in_dim(cached_img, fi, j, 0)
                     at = jax.lax.dynamic_update_index_in_dim(cached_txt, ft, j, 0)
-                    scale = jnp.exp(p["logit_scale"])  # clamp is post-update
-                    loss = clip_loss(ai.reshape(accum * b_micro, -1),
-                                     at.reshape(accum * b_micro, -1), scale)
+                    loss = feat_loss(p, ai.reshape(accum * b_micro, -1),
+                                     at.reshape(accum * b_micro, -1))
                     return loss, s2
 
                 (lj, s2), gj = jax.value_and_grad(loss_j, has_aux=True)(params)
