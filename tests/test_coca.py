@@ -235,7 +235,9 @@ def test_coca_training_cli(tmp_path):
     import xclip_tpu.models.factory as F
     from xclip_tpu.train.main import main as train_main
 
-    F._MODEL_CONFIGS["TinyCoCa"] = SMALL_COCA
+    F._MODEL_CONFIGS["TinyCoCa"] = {  # full BPE vocab: main() rejects
+        # tokenizers whose ids exceed the model vocab (NaN-gather guard)
+        **SMALL_COCA, "text_cfg": {**SMALL_COCA["text_cfg"], "vocab_size": 49408}}
 
     logs = tmp_path / "logs"
     rc = train_main([
@@ -251,7 +253,9 @@ def test_coca_training_cli(tmp_path):
     # the produced checkpoint loads back through the CoCa factory
     from xclip_tpu.models.factory import create_coca_model
 
-    F._MODEL_CONFIGS["TinyCoCa"] = SMALL_COCA
+    F._MODEL_CONFIGS["TinyCoCa"] = {  # full BPE vocab: main() rejects
+        # tokenizers whose ids exceed the model vocab (NaN-gather guard)
+        **SMALL_COCA, "text_cfg": {**SMALL_COCA["text_cfg"], "vocab_size": 49408}}
     model2, params2 = create_coca_model("TinyCoCa", pretrained=str(ckpt))
     assert "text_decoder" in params2
 
@@ -558,3 +562,43 @@ def test_coca_full_size_configs_build():
     rob = coca_cfg_from_dict(get_model_config("coca_roberta-ViT-B-32"))
     assert rob.is_hf_text and rob.decoder_vocab_size == 49408
     assert rob.multimodal.width == 768 and not rob.vision.attentional_pool
+
+
+def test_coca_pjit_step_matches_shard_map():
+    """CoCa in the pjit global-math step (step_pjit) matches the shard_map
+    CoCa step: same loss, same grads (SGD — see the pjit accum test for why
+    not Adam). Unlocks --parallelism zero for CoCa models."""
+    import optax
+
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+    from xclip_tpu.train.step_pjit import make_train_step_pjit
+
+    model = CoCaModel(coca_cfg_from_dict(SMALL_COCA))
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optax.sgd(0.1)
+    cfg = TrainStepCfg(precision="fp32", coca=True)
+
+    images, text = _inputs()
+    n = jax.device_count()
+    host_batch = {
+        "images": np.tile(images, (n, 1, 1, 1)).astype(np.float32),
+        "texts": np.tile(text.astype(np.int32), (n, 1)),
+    }
+
+    ref_step = make_train_step(model, tx, mesh, cfg)
+    p1, _, _, m1 = ref_step(
+        jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params),
+        {}, tx.init(params), shard_batch(mesh, host_batch))
+
+    step = make_train_step_pjit(model, tx, mesh, cfg,
+                                example_params=params, example_opt_state=tx.init(params))
+    p2, _, _, m2 = step(params, {}, tx.init(params), host_batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="accum"):
+        make_train_step_pjit(model, tx, mesh,
+                             TrainStepCfg(precision="fp32", coca=True, accum_freq=2))

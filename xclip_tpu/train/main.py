@@ -407,6 +407,17 @@ def main(argv=None) -> int:
     # 77) exactly like the reference factory: 76 for CoCa's cls-token towers,
     # 77 for HF towers with no explicit context_length (e.g. coca_roberta)
     tokenizer = get_tokenizer(args.model)
+    model_vocab = getattr(getattr(model.cfg, "text", None), "vocab_size", None)
+    tok_vocab = getattr(tokenizer, "vocab_size", None)
+    if model_vocab and tok_vocab and tok_vocab > model_vocab:
+        # out-of-range ids turn into NaN-filled gathers inside jit (torch
+        # would raise an IndexError at the embedding lookup); fail loudly on
+        # the host instead
+        raise ValueError(
+            f"tokenizer vocab ({tok_vocab}) exceeds the model's text "
+            f"vocab_size ({model_vocab}) — token ids would index out of "
+            f"range. Fix the model config or pass a matching tokenizer."
+        )
     data = get_data(args, preprocess_train, preprocess_val, tokenizer)
     assert "train" in data or args.val_data, "no data"
 
@@ -463,11 +474,16 @@ def main(argv=None) -> int:
             image_std=tuple(args.image_std) if args.image_std else None,
         )
         if args.parallelism != "shard_map":
-            # the pjit-family steps implement the contrastive/SigLIP step
-            # (incl. cached-negatives --accum-freq, step_pjit.accum_grads)
+            # the pjit-family steps implement the contrastive/SigLIP/CoCa
+            # step (incl. cached-negatives --accum-freq, step_pjit.accum_grads;
+            # CoCa composes with accum only in the shard_map step)
             unsupported = [
                 name for name, on in [
-                    ("CoCa models", is_coca), ("--distill-*", distill),
+                    # CoCa runs under zero (global-math coca_loss); the
+                    # tp/pp/sp shardings target the CLIP tower layout
+                    ("CoCa models", is_coca and args.parallelism != "zero"),
+                    ("CoCa + --accum-freq>1", is_coca and args.accum_freq > 1),
+                    ("--distill-*", distill),
                 ] if on
             ]
             if unsupported:

@@ -66,6 +66,10 @@ def make_train_step_pjit(
     parallel/tp.py shards the params, tx.init inherits them)."""
     from xclip_tpu.core.precision import get_policy
 
+    if cfg.coca and cfg.accum_freq > 1:
+        raise ValueError(
+            "CoCa + accum_freq>1 is only implemented in the shard_map step "
+            "(train/step.py caches the full model_out per microbatch)")
     compute_dtype = get_policy(cfg.precision).compute_dtype
     replicated_ = NamedSharding(mesh, P())
 
@@ -97,13 +101,28 @@ def make_train_step_pjit(
                 return siglip_loss(img_f, txt_f, scale, p.get("logit_bias", 0.0))
             return clip_loss(img_f, txt_f, scale)
 
-        def loss_fn(p):
-            out = model.forward(
-                gathered(p), images, batch["texts"], state=state, train=True,
-                dtype=compute_dtype, remat=cfg.grad_checkpointing,
-            )
-            loss = feat_loss(p, out["image_features"], out["text_features"])
-            return loss, out["state"]
+        if cfg.coca:
+            from xclip_tpu.models.coca import coca_loss
+
+            def loss_fn(p):
+                # CoCa towers carry no BN state; loss = weighted contrastive
+                # + caption CE over the global batch (global math: no axis)
+                out = model.forward(gathered(p), images, batch["texts"], dtype=compute_dtype)
+                loss, _parts = coca_loss(
+                    out,
+                    caption_loss_weight=cfg.coca_caption_loss_weight,
+                    clip_loss_weight=cfg.coca_contrastive_loss_weight,
+                    pad_id=model.cfg.pad_id,
+                )
+                return loss, state
+        else:
+            def loss_fn(p):
+                out = model.forward(
+                    gathered(p), images, batch["texts"], state=state, train=True,
+                    dtype=compute_dtype, remat=cfg.grad_checkpointing,
+                )
+                loss = feat_loss(p, out["image_features"], out["text_features"])
+                return loss, out["state"]
 
         def accum_grads(params):
             # reference cached-negatives accumulation (train.py:115-164) in
