@@ -273,3 +273,35 @@ def test_s2d_stem_env_gate(monkeypatch):
     monkeypatch.setenv("XCLIP_S2D_STEM", "1")
     s2d, _, _ = R.resnet_apply(params, state, x, cfg, train=True)
     np.testing.assert_allclose(np.asarray(s2d), np.asarray(base), atol=2e-5, rtol=1e-4)
+
+
+def test_conv1x1_dot_env_gate(monkeypatch):
+    """XCLIP_1X1_DOT=1 lowers 1x1 convs to reshaped matmuls with identical
+    values and gradients (incl. the strided-downsample slice case)."""
+    import jax
+    import numpy as np
+
+    from xclip_tpu.models import layers as L
+
+    rng = np.random.RandomState(0)
+    for stride, bias in ((1, False), (1, True), (2, False)):
+        params = {"kernel": jax.numpy.asarray(
+            rng.randn(1, 1, 8, 16).astype(np.float32) * 0.1)}
+        if bias:
+            params["bias"] = jax.numpy.asarray(rng.randn(16).astype(np.float32))
+        x = jax.numpy.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+
+        def loss(p, x):
+            return (L.conv_apply(p, x, stride=stride) ** 2).sum()
+
+        monkeypatch.delenv("XCLIP_1X1_DOT", raising=False)
+        want = L.conv_apply(params, x, stride=stride)
+        gw = jax.grad(loss)(params, x)
+        monkeypatch.setenv("XCLIP_1X1_DOT", "1")
+        got = L.conv_apply(params, x, stride=stride)
+        gg = jax.grad(loss)(params, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gg["kernel"]), np.asarray(gw["kernel"]),
+                                   atol=1e-4, rtol=1e-4)

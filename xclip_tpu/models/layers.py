@@ -117,21 +117,37 @@ def conv_init(rng, in_ch: int, out_ch: int, kernel_size: int, *, bias: bool = Fa
     return params
 
 
+def _conv1x1_as_dot() -> bool:
+    """A/B gate (XCLIP_1X1_DOT=1): lower 1x1 convs to explicit
+    (N*H*W, Cin) @ (Cin, Cout) matmuls. TPU XLA output-fuses elementwise
+    consumers into ``dot`` fusions but not into ``convolution`` (round-2
+    compiled-HLO finding, TODO.md) — as a dot, the trailing BN/ReLU chain
+    can ride the matmul epilogue and skip an HBM round-trip over the
+    block's widest tensor. Same contraction, same MXU fp32 accumulation."""
+    return _os.environ.get("XCLIP_1X1_DOT", "0") == "1"
+
+
 def conv_apply(params, x, *, stride: int = 1, padding: int = 0, dtype=None):
     kernel = params["kernel"]
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
-    # no preferred_element_type: the MXU accumulates bf16 convs in fp32
-    # internally, and the conv transpose (backward) rule requires uniform
-    # operand dtypes.
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if kernel.shape[0] == kernel.shape[1] == 1 and padding == 0 and _conv1x1_as_dot():
+        if stride != 1:
+            x = x[:, ::stride, ::stride, :]
+        b, h, w, cin = x.shape
+        y = jnp.dot(x.reshape(b * h * w, cin), kernel[0, 0]).reshape(b, h, w, -1)
+    else:
+        # no preferred_element_type: the MXU accumulates bf16 convs in fp32
+        # internally, and the conv transpose (backward) rule requires uniform
+        # operand dtypes.
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y
