@@ -6,11 +6,19 @@ train.py:216-217) — for the full jitted train step (forward + backward +
 AdamW + logit-scale clamp) on synthetic device-resident data, isolating
 device throughput exactly like the reference's gpu_time meter.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-roofline accounting (model TFLOPs/step, achieved TF/s + MFU, effective
-HBM GB/s from the compiled HLO cost analysis), the eval-path encode rate,
-the host-fed end-to-end rate with data/batch-time meters, and a
-decode-only host microbenchmark (the input-pipeline ceiling on this host).
+Artifact contract (hard-learned in round 3, where a 9-minute default run
+timed out and produced zero output): the HEADLINE JSON line — {"metric",
+"value", "unit", "vs_baseline", "step_time_ms"} plus the roofline keys,
+which are free because the timing loop and the cost analysis share ONE
+compiled executable — is printed and flushed IMMEDIATELY after the device
+timing loop. Everything else (speed-of-light anchors, eval-path rate, the
+reference's accum-freq-2 headline config, the host-fed e2e pipeline) runs
+afterwards under a wall-clock budget (BENCH_BUDGET_S, default 240s from
+process start; BENCH_FULL=1 removes the budget), each phase appending its
+own flushed JSON line as it completes. A final consolidated headline line
+(same metric name, superset of keys) is printed last so a last-line parser
+sees everything that landed.
+
 Baseline: 3000 images/sec/chip (BASELINE.md north star, TPU v5e).
 """
 
@@ -25,6 +33,20 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 3000.0
 # TPU v5e peak: 197 bf16 TFLOP/s and ~819 GB/s HBM per chip
 V5E_PEAK_TFLOPS = 197.0
 V5E_HBM_GBPS = 819.0
+
+_T0 = time.monotonic()
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _budget_left(estimate_s: float) -> bool:
+    """True if the phase (estimated cost estimate_s) fits the wall budget."""
+    if os.environ.get("BENCH_FULL") == "1":
+        return True
+    budget = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    return (time.monotonic() - _T0) + estimate_s < budget
 
 
 def _build_synthetic_tsv_tree(root: str, n_images: int = 512, size: int = 320) -> str:
@@ -152,29 +174,88 @@ def main_e2e():
 
     e2e = run_e2e(model_name, per_chip_batch, steps, warmup)
     del jax
-    print(json.dumps(dict({
+    _emit(dict({
         "metric": f"{model_name} CLIP host-fed e2e train throughput",
         "value": e2e["images_per_sec_per_chip"],
         "unit": "images/sec/chip",
         "vs_baseline": round(e2e["images_per_sec_per_chip"] / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-    }, **{k: v for k, v in e2e.items() if k != "images_per_sec_per_chip"})))
+    }, **{k: v for k, v in e2e.items() if k != "images_per_sec_per_chip"}))
 
 
-def _step_cost_analysis(step, args):
-    """HLO cost analysis of the compiled train step: total model FLOPs and
-    HLO-boundary bytes accessed per step (reference analogue: the FLOPs
-    profiler, deps/open_clip/src/training/profiler.py)."""
+class CompiledStep:
+    """One lower+compile serving BOTH the timing loop and the cost analysis:
+    the roofline numbers always describe the executable being timed, and the
+    headline never pays a second compile (round 3's artifact killer).
+    Optionally forwards PJRT compiler_options (the A/B knob — XLA_FLAGS is
+    parsed client-side on this relay terminal and rejects TPU flags, but
+    per-compile options reach the server-side compiler)."""
+
+    def __init__(self, jitted, options=None):
+        self.jitted = jitted
+        self.options = options
+        self.compiled = None
+
+    def compile(self, *args):
+        if self.compiled is None:
+            lowered = self.jitted.lower(*args)
+            self.compiled = (
+                lowered.compile(compiler_options=self.options)
+                if self.options else lowered.compile()
+            )
+        return self.compiled
+
+    def __call__(self, *args):
+        return self.compile(*args)(*args)
+
+    def cost_analysis(self):
+        """(model_flops, hlo_bytes_accessed) per step, or (0, 0)."""
+        try:
+            costs = self.compiled.cost_analysis()
+            if isinstance(costs, (list, tuple)):
+                costs = costs[0]
+            return float(costs.get("flops", 0.0)), float(costs.get("bytes accessed", 0.0))
+        except Exception as exn:  # pragma: no cover - backend dependent
+            sys.stderr.write(f"cost analysis unavailable: {exn}\n")
+            return 0.0, 0.0
+
+
+def _time_step(step, params, state, opt_state, batch, warmup, steps):
+    """Warmup + timed loop; returns (step_time_s, final carry). Syncs via a
+    scalar fetch (block_until_ready is unreliable over the axon relay)."""
+    for _ in range(warmup):
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, state, opt_state, metrics = step(params, state, opt_state, batch)
+    float(metrics["loss"])  # every step chains through donated params
+    return (time.perf_counter() - t0) / steps, (params, state, opt_state)
+
+
+def _env_versions():
+    """Client vs terminal stack versions (VERDICT r3 #2c: the Pallas/Mosaic
+    122 GB/s wall was attributed to a client/terminal libtpu mismatch —
+    record both sides so the comparison is in the artifact)."""
+    import jax
+    import jaxlib
+
+    out = {
+        "metric": "bench environment",
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.version.__version__,
+    }
     try:
-        compiled = getattr(step, "jitted", step).lower(*args).compile()
-        costs = compiled.cost_analysis()
-        if isinstance(costs, (list, tuple)):
-            costs = costs[0]
-        flops = float(costs.get("flops", 0.0))
-        bytes_accessed = float(costs.get("bytes accessed", 0.0))
-        return flops, bytes_accessed
-    except Exception as exn:  # pragma: no cover - backend dependent
-        sys.stderr.write(f"cost analysis unavailable: {exn}\n")
-        return 0.0, 0.0
+        import libtpu
+        out["client_libtpu"] = getattr(libtpu, "__version__", "unknown")
+    except Exception:
+        out["client_libtpu"] = None
+    try:
+        dev = jax.devices()[0]
+        out["terminal_platform_version"] = dev.client.platform_version
+        out["device_kind"] = dev.device_kind
+    except Exception as exn:  # pragma: no cover
+        out["terminal_platform_version"] = f"unavailable: {exn}"
+    return out
 
 
 def _roofline_anchors(steps: int = 10):
@@ -232,56 +313,23 @@ def main():
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    compiler_options = os.environ.get("BENCH_COMPILER_OPTIONS")
+    options = json.loads(compiler_options) if compiler_options else None
 
     n_chips = jax.device_count()
     mesh = create_mesh()
     model, params, state = create_model(model_name, precision="bf16")
     tx = optim.adamw(schedule.cosine_lr(1e-3, 500, 10000), weight_decay=0.2)
     opt_state = tx.init(params)
-    step = make_train_step(
-        model, tx, mesh,
-        TrainStepCfg(precision="bf16", accum_freq=1,
-                     grad_checkpointing=os.environ.get("BENCH_REMAT") == "1",
-                     local_loss=True),
+    step = CompiledStep(
+        make_train_step(
+            model, tx, mesh,
+            TrainStepCfg(precision="bf16", accum_freq=1,
+                         grad_checkpointing=os.environ.get("BENCH_REMAT") == "1",
+                         local_loss=True),
+        ).jitted,
+        options,
     )
-
-    # A/B knob: TPU compiler flags via PJRT compiler_options (XLA_FLAGS is
-    # parsed client-side on this relay terminal and rejects TPU flags, but
-    # per-compile options reach the server-side compiler).
-    # e.g. BENCH_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib":"65536"}'
-    compiler_options = os.environ.get("BENCH_COMPILER_OPTIONS")
-    if compiler_options:
-        opts = json.loads(compiler_options)
-        base_jitted = step.jitted
-
-        class _CompiledWithOpts:
-            """Single lower+compile with the A/B options; the SAME
-            executable serves the timing loop and the cost analysis, so
-            the roofline numbers describe the executable being timed."""
-
-            def __init__(self):
-                self.compiled = None
-
-            def _get(self, *args):
-                if self.compiled is None:
-                    self.compiled = base_jitted.lower(*args).compile(
-                        compiler_options=opts)
-                return self.compiled
-
-            def __call__(self, *args):
-                return self._get(*args)(*args)
-
-            def lower(self, *args):  # _step_cost_analysis surface
-                outer = self
-
-                class _L:
-                    def compile(self_inner):
-                        return outer._get(*args)
-
-                return _L()
-
-        step = _CompiledWithOpts()
-        step.jitted = step  # cost analysis goes through our lower()
 
     global_batch = per_chip_batch * n_chips
     size = model.cfg.image_size
@@ -291,49 +339,17 @@ def main():
         "texts": rng.randint(1, 49000, size=(global_batch, 77)).astype(np.int32),
     })
 
+    step.compile(params, state, opt_state, batch)
     if os.environ.get("BENCH_SKIP_COST") == "1":
         flops_per_step, bytes_per_step = 0.0, 0.0
     else:
-        flops_per_step, bytes_per_step = _step_cost_analysis(
-            step, (params, state, opt_state, batch))
+        flops_per_step, bytes_per_step = step.cost_analysis()
 
-    for _ in range(warmup):
-        params, state, opt_state, metrics = step(params, state, opt_state, batch)
-    float(metrics["loss"])  # value fetch = hard sync (block_until_ready is
-    # unreliable over the experimental axon relay)
+    step_time, (params, state, opt_state) = _time_step(
+        step, params, state, opt_state, batch, warmup, steps)
+    per_chip = global_batch / step_time / n_chips
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, state, opt_state, metrics = step(params, state, opt_state, batch)
-    float(metrics["loss"])  # every step chains through donated params
-    dt = time.perf_counter() - t0
-
-    step_time = dt / steps
-    imgs_per_sec = global_batch * steps / dt
-    per_chip = imgs_per_sec / n_chips
-
-    # secondary: eval-path (encode_image, the LSO feature-extraction hot
-    # loop) throughput — reported as an extra key on the same JSON line.
-    eval_per_chip = None
-    if os.environ.get("BENCH_SKIP_EVAL") != "1":
-        eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
-        eval_imgs = jax.device_put(rng.randn(eval_batch, size, size, 3).astype(np.float32))
-
-        @jax.jit
-        def encode(p, s, images):
-            feats, _, _ = model.encode_image(
-                p, images, state=s, normalize=True, dtype=get_policy("bf16").compute_dtype
-            )
-            return feats
-
-        feats = encode(params, state, eval_imgs)
-        float(np.asarray(feats)[0, 0])  # compile + sync
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            feats = encode(params, state, eval_imgs)
-        float(np.asarray(feats)[0, 0])
-        eval_per_chip = eval_batch * steps / (time.perf_counter() - t0)
-
+    # ---- HEADLINE: printed + flushed the moment the timing loop ends ----
     result = {
         "metric": f"{model_name} CLIP train throughput",
         "value": round(per_chip, 2),
@@ -341,8 +357,6 @@ def main():
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
         "step_time_ms": round(step_time * 1e3, 2),
     }
-    if eval_per_chip is not None:
-        result["eval_images_per_sec_per_chip"] = round(eval_per_chip, 2)
     if flops_per_step > 0:
         # roofline accounting: is the step compute- or bandwidth-limited,
         # and how far from the v5e speed of light is it?
@@ -356,28 +370,119 @@ def main():
             "effective_hbm_gbps": round(effective_gbps, 1),
             "hbm_utilization": round(effective_gbps / V5E_HBM_GBPS, 4),
         })
-        if os.environ.get("BENCH_SKIP_ANCHORS") != "1":
-            try:
-                streaming_gbps, matmul_tflops = _roofline_anchors()
-                result.update({
-                    # measured speed of light on THIS terminal: the honest
-                    # denominators for the mfu / bandwidth ratios above
-                    "measured_peak_hbm_gbps": streaming_gbps,
-                    "measured_peak_matmul_tflops": matmul_tflops,
-                    "mfu_vs_measured_peak": round(
-                        achieved_tflops / matmul_tflops, 4) if matmul_tflops else None,
-                })
-            except Exception as exn:  # pragma: no cover - backend dependent
-                sys.stderr.write(f"roofline anchors unavailable: {exn}\n")
+    _emit(result)
 
-    if os.environ.get("BENCH_SKIP_E2E") != "1":
+    # ---- extras: budget-gated, each appends its own flushed JSON line ----
+    try:
+        _emit(_env_versions())
+    except Exception as exn:  # pragma: no cover
+        sys.stderr.write(f"env versions unavailable: {exn}\n")
+
+    if os.environ.get("BENCH_SKIP_ANCHORS") != "1" and _budget_left(30):
         try:
-            result["e2e"] = run_e2e(model_name, per_chip_batch,
-                                    steps=min(steps, 12), warmup=2)
+            t0 = time.monotonic()
+            streaming_gbps, matmul_tflops = _roofline_anchors()
+            anchors = {
+                # measured speed of light on THIS terminal: the honest
+                # denominators for the mfu / bandwidth ratios above. The
+                # normalized value extrapolates the headline to datasheet
+                # HBM bandwidth — the step is streaming-bound at the
+                # measured wall (VERDICT r3 #2a).
+                "metric": f"{model_name} roofline anchors",
+                "measured_peak_hbm_gbps": streaming_gbps,
+                "measured_peak_matmul_tflops": matmul_tflops,
+                "hbm_fraction_of_datasheet": round(streaming_gbps / V5E_HBM_GBPS, 4),
+                "bandwidth_normalized_value": round(
+                    per_chip * V5E_HBM_GBPS / streaming_gbps, 1) if streaming_gbps else None,
+                "phase_seconds": round(time.monotonic() - t0, 1),
+            }
+            if flops_per_step > 0 and matmul_tflops:
+                anchors["mfu_vs_measured_peak"] = round(
+                    flops_per_step / step_time / 1e12 / n_chips / matmul_tflops, 4)
+            result.update({k: v for k, v in anchors.items() if k != "metric"})
+            _emit(anchors)
+        except Exception as exn:  # pragma: no cover - backend dependent
+            sys.stderr.write(f"roofline anchors unavailable: {exn}\n")
+
+    if os.environ.get("BENCH_SKIP_EVAL") != "1" and _budget_left(45):
+        try:
+            t0 = time.monotonic()
+            eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
+            eval_imgs = jax.device_put(rng.randn(eval_batch, size, size, 3).astype(np.float32))
+
+            @jax.jit
+            def encode(p, s, images):
+                feats, _, _ = model.encode_image(
+                    p, images, state=s, normalize=True, dtype=get_policy("bf16").compute_dtype
+                )
+                return feats
+
+            feats = encode(params, state, eval_imgs)
+            float(np.asarray(feats)[0, 0])  # compile + sync
+            t1 = time.perf_counter()
+            for _ in range(steps):
+                feats = encode(params, state, eval_imgs)
+            float(np.asarray(feats)[0, 0])
+            eval_per_chip = eval_batch * steps / (time.perf_counter() - t1)
+            result["eval_images_per_sec_per_chip"] = round(eval_per_chip, 2)
+            _emit({
+                "metric": f"{model_name} eval-path encode throughput",
+                "value": round(eval_per_chip, 2),
+                "unit": "images/sec/chip",
+                "phase_seconds": round(time.monotonic() - t0, 1),
+            })
+        except Exception as exn:  # pragma: no cover
+            sys.stderr.write(f"eval bench unavailable: {exn}\n")
+
+    # the reference's actual headline config: per-device batch 128 with
+    # --accum-freq 2 (effective 1024 over 4 GPUs; slurm/train-clip.sh:120-127,
+    # BASELINE.md). samples_per_second_per_gpu counts accum_freq*batch per
+    # step (train.py:216-217).
+    if os.environ.get("BENCH_SKIP_ACCUM2") != "1" and _budget_left(150):
+        try:
+            t0 = time.monotonic()
+            model2, params2, state2 = create_model(model_name, precision="bf16")
+            opt_state2 = tx.init(params2)
+            step2 = CompiledStep(
+                make_train_step(
+                    model2, tx, mesh,
+                    TrainStepCfg(precision="bf16", accum_freq=2,
+                                 grad_checkpointing=False, local_loss=True),
+                ).jitted,
+                options,
+            )
+            batch2 = shard_batch(mesh, {
+                "images": rng.randn(2 * global_batch, size, size, 3).astype(np.float32),
+                "texts": rng.randint(1, 49000, size=(2 * global_batch, 77)).astype(np.int32),
+            })
+            st2, _ = _time_step(step2, params2, state2, opt_state2, batch2,
+                                max(2, warmup - 2), max(8, steps // 2))
+            accum2_per_chip = 2 * global_batch / st2 / n_chips
+            result["accum2_images_per_sec_per_chip"] = round(accum2_per_chip, 2)
+            _emit({
+                "metric": f"{model_name} CLIP train throughput (accum-freq 2, reference headline config)",
+                "value": round(accum2_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(accum2_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+                "step_time_ms": round(st2 * 1e3, 2),
+                "phase_seconds": round(time.monotonic() - t0, 1),
+            })
+            del params2, state2, opt_state2, batch2, step2
+        except Exception as exn:  # pragma: no cover
+            sys.stderr.write(f"accum2 bench unavailable: {exn}\n")
+
+    if os.environ.get("BENCH_SKIP_E2E") != "1" and _budget_left(180):
+        try:
+            t0 = time.monotonic()
+            e2e = run_e2e(model_name, per_chip_batch, steps=min(steps, 12), warmup=2)
+            e2e["phase_seconds"] = round(time.monotonic() - t0, 1)
+            result["e2e"] = e2e
+            _emit(dict({"metric": f"{model_name} host-fed e2e pipeline"}, **e2e))
         except Exception as exn:  # pragma: no cover - host/env dependent
             sys.stderr.write(f"e2e bench unavailable: {exn}\n")
 
-    print(json.dumps(result))
+    # ---- consolidated headline (superset) as the LAST line ----
+    _emit(result)
 
 
 if __name__ == "__main__":

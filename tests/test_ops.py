@@ -296,12 +296,19 @@ def test_conv1x1_dot_env_gate(monkeypatch):
 
         monkeypatch.delenv("XCLIP_1X1_DOT", raising=False)
         want = L.conv_apply(params, x, stride=stride)
-        gw = jax.grad(loss)(params, x)
+        gw = jax.grad(loss, argnums=(0, 1))(params, x)
         monkeypatch.setenv("XCLIP_1X1_DOT", "1")
         got = L.conv_apply(params, x, stride=stride)
-        gg = jax.grad(loss)(params, x)
+        gg = jax.grad(loss, argnums=(0, 1))(params, x)
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(gg["kernel"]), np.asarray(gw["kernel"]),
+        np.testing.assert_allclose(np.asarray(gg[0]["kernel"]), np.asarray(gw[0]["kernel"]),
+                                   atol=1e-4, rtol=1e-4)
+        if bias:
+            np.testing.assert_allclose(np.asarray(gg[0]["bias"]), np.asarray(gw[0]["bias"]),
+                                       atol=1e-4, rtol=1e-4)
+        # d(loss)/dx: the strided dot path transposes through a strided
+        # slice, structurally unlike the conv transpose — pin it too.
+        np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gw[1]),
                                    atol=1e-4, rtol=1e-4)
