@@ -599,6 +599,22 @@ def test_coca_pjit_step_matches_shard_map():
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
 
-    with pytest.raises(ValueError, match="accum"):
-        make_train_step_pjit(model, tx, mesh,
-                             TrainStepCfg(precision="fp32", coca=True, accum_freq=2))
+    # CoCa + accum_freq>1 (cached full model_out per microbatch,
+    # step_pjit.accum_grads CoCa branch) matches the shard_map CoCa accum.
+    # params was donated to the pjit step above — re-init the same tree.
+    params = model.init(jax.random.PRNGKey(0))
+    cfg2 = TrainStepCfg(precision="fp32", coca=True, accum_freq=2)
+    big_batch = {
+        "images": np.tile(host_batch["images"], (2, 1, 1, 1)),
+        "texts": np.tile(host_batch["texts"], (2, 1)),
+    }
+    ref2 = make_train_step(model, tx, mesh, cfg2)
+    p3, _, _, m3 = ref2(
+        jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params),
+        {}, tx.init(params), shard_batch(mesh, dict(big_batch)))
+    step2 = make_train_step_pjit(model, tx, mesh, cfg2,
+                                 example_params=params, example_opt_state=tx.init(params))
+    p4, _, _, m4 = step2(params, {}, tx.init(params), big_batch)
+    np.testing.assert_allclose(float(m4["loss"]), float(m3["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p3), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

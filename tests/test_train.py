@@ -631,3 +631,42 @@ def test_pjit_siglip_matches_shard_map():
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_pjit_distill_matches_shard_map():
+    """Distillation in global pjit math (make_distill_train_step_pjit)
+    matches the shard_map distill step: same loss parts, same post-step
+    params (SGD, see the pjit accum test for why not Adam). Unlocks
+    --distill-* under --parallelism zero."""
+    import optax
+
+    from xclip_tpu.train.step import make_distill_train_step
+    from xclip_tpu.train.step_pjit import make_distill_train_step_pjit
+
+    student = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    teacher = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    s_params, s_state = student.init(jax.random.PRNGKey(0))
+    t_params, t_state = teacher.init(jax.random.PRNGKey(1))
+    mesh = create_mesh()
+    tx = optax.sgd(0.1)
+    cfg = TrainStepCfg(precision="fp32")
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 400, size=(16, 16)).astype(np.int32),
+    }
+
+    ref_step = make_distill_train_step(student, teacher, tx, mesh, cfg)
+    p1, _, _, m1 = ref_step(
+        jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), s_params),
+        s_state, tx.init(s_params), t_params, t_state, dict(batch))
+
+    step = make_distill_train_step_pjit(student, teacher, tx, mesh, cfg)
+    p2, _, _, m2 = step(s_params, s_state, tx.init(s_params), t_params, t_state, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m2["distill_loss"]), float(m1["distill_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert float(m2["distill_loss"]) > 0
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

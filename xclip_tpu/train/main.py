@@ -475,15 +475,14 @@ def main(argv=None) -> int:
         )
         if args.parallelism != "shard_map":
             # the pjit-family steps implement the contrastive/SigLIP/CoCa
-            # step (incl. cached-negatives --accum-freq, step_pjit.accum_grads;
-            # CoCa composes with accum only in the shard_map step)
+            # step (incl. cached-negatives --accum-freq and CoCa+accum,
+            # step_pjit.accum_grads) and distill (make_distill_train_step_pjit)
             unsupported = [
                 name for name, on in [
-                    # CoCa runs under zero (global-math coca_loss); the
+                    # CoCa + distill run under zero (global-math losses); the
                     # tp/pp/sp shardings target the CLIP tower layout
                     ("CoCa models", is_coca and args.parallelism != "zero"),
-                    ("CoCa + --accum-freq>1", is_coca and args.accum_freq > 1),
-                    ("--distill-*", distill),
+                    ("--distill-*", distill and args.parallelism != "zero"),
                 ] if on
             ]
             if unsupported:
@@ -533,19 +532,29 @@ def main(argv=None) -> int:
             step_fn = make_train_step(model, tx, mesh, step_cfg)
         if distill:
             from xclip_tpu.models.factory import create_model as _create
-            from xclip_tpu.train.step import make_distill_train_step
 
             teacher_model, t_params, t_state = _create(
                 args.distill_model, pretrained=args.distill_pretrained
             )
-            raw_step = make_distill_train_step(
-                model, teacher_model, tx, mesh,
-                TrainStepCfg(
-                    precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
-                    local_loss=True,
-                    grad_checkpointing=args.grad_checkpointing,
-                ),
+            # distill runs at accum_freq 1 like the reference: train.py's
+            # accumulation branch (115-164) never forwards dist_model, so
+            # --distill-* + --accum-freq>1 has no reference semantics
+            dcfg = TrainStepCfg(
+                precision="bf16" if args.precision in ("amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16") else "fp32",
+                local_loss=True,
+                grad_checkpointing=args.grad_checkpointing,
             )
+            if args.parallelism == "zero":
+                from xclip_tpu.train.step_pjit import make_distill_train_step_pjit
+
+                raw_step = make_distill_train_step_pjit(
+                    model, teacher_model, tx, mesh, dcfg, shard_params=True,
+                    example_params=params, example_opt_state=opt_state,
+                )
+            else:
+                from xclip_tpu.train.step import make_distill_train_step
+
+                raw_step = make_distill_train_step(model, teacher_model, tx, mesh, dcfg)
             step_fn = lambda p, s, o, b: raw_step(p, s, o, t_params, t_state, b)
 
     if args.resume:

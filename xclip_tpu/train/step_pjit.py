@@ -66,10 +66,6 @@ def make_train_step_pjit(
     parallel/tp.py shards the params, tx.init inherits them)."""
     from xclip_tpu.core.precision import get_policy
 
-    if cfg.coca and cfg.accum_freq > 1:
-        raise ValueError(
-            "CoCa + accum_freq>1 is only implemented in the shard_map step "
-            "(train/step.py caches the full model_out per microbatch)")
     compute_dtype = get_policy(cfg.precision).compute_dtype
     replicated_ = NamedSharding(mesh, P())
 
@@ -133,6 +129,58 @@ def make_train_step_pjit(
             b_micro = images.shape[0] // accum
             images_m = images.reshape(accum, b_micro, *images.shape[1:])
             texts_m = batch["texts"].reshape(accum, b_micro, *batch["texts"].shape[1:])
+
+            if cfg.coca:
+                # reference accum with CoCa (train.py:115-164): every
+                # model_out tensor — features AND caption logits/labels —
+                # is cached and concatenated so each microbatch's loss sees
+                # the full effective batch (mirrors the shard_map variant,
+                # train/step.py, in global math)
+                from xclip_tpu.models.coca import coca_loss
+
+                def coca_out(p, imgs, txts):
+                    out = model.forward(gathered(p), imgs, txts, dtype=compute_dtype)
+                    return (out["image_features"], out["text_features"],
+                            out["logits"], out["labels"])
+
+                def cache_coca(carry, xs):
+                    return carry, coca_out(params, xs[0], xs[1])
+
+                _, cached = jax.lax.scan(cache_coca, 0, (images_m, texts_m))
+                cached = jax.lax.stop_gradient(cached)
+
+                def micro_coca(carry, xs):
+                    g_acc, loss_acc = carry
+                    j, imgs, txts = xs
+
+                    def loss_j(p):
+                        cur = coca_out(p, imgs, txts)
+                        full = [
+                            jax.lax.dynamic_update_index_in_dim(c, v, j, 0).reshape(
+                                accum * b_micro, *c.shape[2:])
+                            for c, v in zip(cached, cur)
+                        ]
+                        out = {
+                            "image_features": full[0], "text_features": full[1],
+                            "logits": full[2], "labels": full[3],
+                            "logit_scale": jnp.exp(p["logit_scale"]),
+                        }
+                        loss, _parts = coca_loss(
+                            out,
+                            caption_loss_weight=cfg.coca_caption_loss_weight,
+                            clip_loss_weight=cfg.coca_contrastive_loss_weight,
+                            pad_id=model.cfg.pad_id,
+                        )
+                        return loss
+
+                    lj, gj = jax.value_and_grad(loss_j)(params)
+                    return (jax.tree_util.tree_map(jnp.add, g_acc, gj), loss_acc + lj), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (grads, loss_sum), _ = jax.lax.scan(
+                    micro_coca, (zeros, 0.0), (jnp.arange(accum), images_m, texts_m))
+                # CoCa towers carry no BN state
+                return loss_sum / accum, state, grads
 
             def fwd(p, s, imgs, txts):
                 out = model.forward(gathered(p), imgs, txts, state=s, train=True,
@@ -209,6 +257,97 @@ def make_train_step_pjit(
     return jax.jit(
         step,
         in_shardings=(param_sh, replicated, opt_sh, batch_sh),
+        out_shardings=(param_sh, replicated, opt_sh, replicated),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_distill_train_step_pjit(
+    model,
+    teacher_model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepCfg = TrainStepCfg(),
+    *,
+    shard_params: bool = False,
+    example_params=None,
+    example_opt_state=None,
+    min_shard_size: int = 2**14,
+) -> Callable:
+    """Distillation step (reference --distill-model, training/main.py:259-267
+    + DistillClipLoss, loss.py:180-216) in global pjit math: the frozen
+    teacher runs inside the same compiled program on replicated params; the
+    student composes with ZeRO sharding exactly like make_train_step_pjit.
+
+    Returned signature::
+
+        params, state, opt_state, metrics = step(
+            params, state, opt_state, teacher_params, teacher_state, batch)
+    """
+    from xclip_tpu.core.precision import get_policy
+    from xclip_tpu.train.loss import distill_clip_loss
+
+    compute_dtype = get_policy(cfg.precision).compute_dtype
+    replicated = NamedSharding(mesh, P())
+
+    def step(params, state, opt_state, t_params, t_state, batch):
+        from xclip_tpu.train.step import normalize_images
+
+        images = normalize_images(batch["images"], cfg)
+        t_out = teacher_model.forward(
+            t_params, images, batch["texts"], state=t_state, train=False,
+            dtype=compute_dtype,
+        )
+
+        def gathered(p):
+            if shard_params:
+                # see make_train_step_pjit: compute on a replicated copy;
+                # the constraint's transpose reduce-scatters the grads back
+                return jax.lax.with_sharding_constraint(
+                    p, jax.tree_util.tree_map(lambda _: replicated, p))
+            return p
+
+        def loss_fn(p):
+            out = model.forward(
+                gathered(p), images, batch["texts"], state=state, train=True,
+                dtype=compute_dtype, remat=cfg.grad_checkpointing,
+            )
+            contrastive, distill = distill_clip_loss(
+                out["image_features"], out["text_features"], out["logit_scale"],
+                t_out["image_features"], t_out["text_features"], t_out["logit_scale"],
+            )
+            return contrastive + distill, (out["state"], contrastive, distill)
+
+        (loss, (new_state, contrastive, distill)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.clip(new_params["logit_scale"], 0.0, jnp.log(100.0))
+        metrics = {
+            "loss": loss,
+            "contrastive_loss": contrastive,
+            "distill_loss": distill,
+            "grad_norm": _norm_tree(grads),
+            "logit_scale": jnp.exp(new_params["logit_scale"]),
+        }
+        return new_params, new_state, new_opt_state, metrics
+
+    if shard_params:
+        assert example_params is not None and example_opt_state is not None
+        param_sh = zero_sharding(mesh, example_params, min_size=min_shard_size)
+        opt_sh = zero_sharding(mesh, example_opt_state, min_size=min_shard_size)
+    else:
+        param_sh = replicated
+        opt_sh = replicated
+    batch_sh = {
+        "images": NamedSharding(mesh, P(DATA_AXIS)),
+        "texts": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, replicated, opt_sh, replicated, replicated, batch_sh),
         out_shardings=(param_sh, replicated, opt_sh, replicated),
         donate_argnums=(0, 1, 2),
     )
