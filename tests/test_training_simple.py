@@ -273,12 +273,15 @@ def test_training_parallelism_tp(tmp_path):
 
 
 def test_training_parallelism_guard(tmp_path):
-    """pjit-family steps reject the shard_map-only features loudly."""
+    """The remaining shard_map/zero-only features are rejected loudly under
+    the tower-layout parallelisms (distill + CoCa compose with zero since
+    round 4; tp/pp/sp shardings target the plain CLIP tower layout)."""
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="distill"):
         main(_args(tmp_path, "smoke-guard",
-                   ["--parallelism", "zero", "--distill-model", "ViT-S-32",
+                   ["--parallelism", "tp", "--tensor-parallel-size", "4",
+                    "--distill-model", "ViT-S-32",
                     "--distill-pretrained", "x.pt"]))
 
 
