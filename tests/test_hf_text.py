@@ -149,11 +149,19 @@ def test_hf_configs_parse():
         assert cfg.text.pooler_type == "mean_pooler"
 
 
-def test_get_tokenizer_hf_dispatch(tmp_path):
+def test_get_tokenizer_hf_dispatch(tmp_path, monkeypatch):
     """get_tokenizer routes hf_tokenizer_name configs to HFTokenizer (and
     errors helpfully offline); plain configs keep the CLIP BPE."""
     import xclip_tpu.models.factory as F
     from xclip_tpu.tokenizer import SimpleTokenizer, get_tokenizer
+
+    # fail fast instead of sitting through the hub's connect retries (the
+    # env vars are read at import time — patch the cached constants)
+    import huggingface_hub.constants as hub_constants
+    import transformers.utils.hub as hf_hub
+
+    monkeypatch.setattr(hub_constants, "HF_HUB_OFFLINE", True)
+    monkeypatch.setattr(hf_hub, "_is_offline_mode", True)
 
     tok = get_tokenizer("RN50")
     assert isinstance(tok, SimpleTokenizer)

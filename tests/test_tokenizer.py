@@ -178,8 +178,17 @@ class TestSigLipTokenizer:
         one = tok("a photo of a dog", context_length=8)
         assert one.shape == (1, 8)
 
-    def test_siglip_tokenizer_offline_error(self):
+    def test_siglip_tokenizer_offline_error(self, monkeypatch):
         from xclip_tpu.tokenizer import SigLipTokenizer
 
+        # fail fast instead of sitting through the hub's connect retries
+        # (this box has zero egress; without these the test takes ~3 min).
+        # The env vars are read at import time, so patch the cached
+        # module-level constants directly.
+        import huggingface_hub.constants as hub_constants
+        import transformers.utils.hub as hf_hub
+
+        monkeypatch.setattr(hub_constants, "HF_HUB_OFFLINE", True)
+        monkeypatch.setattr(hf_hub, "_is_offline_mode", True)
         with pytest.raises(RuntimeError, match="zero-egress"):
             SigLipTokenizer("some-hub-name-that-does-not-exist")
