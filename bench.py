@@ -13,7 +13,7 @@ which are free because the timing loop and the cost analysis share ONE
 compiled executable — is printed and flushed IMMEDIATELY after the device
 timing loop. Everything else (speed-of-light anchors, eval-path rate, the
 reference's accum-freq-2 headline config, the host-fed e2e pipeline) runs
-afterwards under a wall-clock budget (BENCH_BUDGET_S, default 240s from
+afterwards under a wall-clock budget (BENCH_BUDGET_S, default 330s from
 process start; BENCH_FULL=1 removes the budget), each phase appending its
 own flushed JSON line as it completes. A final consolidated headline line
 (same metric name, superset of keys) is printed last so a last-line parser
@@ -45,7 +45,7 @@ def _budget_left(estimate_s: float) -> bool:
     """True if the phase (estimated cost estimate_s) fits the wall budget."""
     if os.environ.get("BENCH_FULL") == "1":
         return True
-    budget = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "330"))
     return (time.monotonic() - _T0) + estimate_s < budget
 
 
@@ -152,6 +152,13 @@ def run_e2e(model_name: str, per_chip_batch: int, steps: int, warmup: int):
     float(metrics["loss"])
     batch_time = (time.perf_counter() - t0) / steps
     data_time = float(np.mean(data_t))
+    # uint8 batch bytes shipped host->device per step: on a tunneled (axon
+    # relay) terminal the ~23 MB/s link makes THIS the e2e ceiling, not
+    # decode — r4 measurement: 19.3 MB/batch ~= 0.82s of the 1.10s
+    # batch_time, which also explains the 261/190/116 img/s spread across
+    # sessions (relay throughput variance). On a real TPU host the
+    # transfer is PCIe/DMA and the decode ceiling governs instead.
+    batch_mb = global_batch * model.cfg.image_size ** 2 * 3 / 1e6
     return {
         "images_per_sec_per_chip": round(global_batch / batch_time / jax.device_count(), 2),
         "data_time": round(data_time, 4),
@@ -161,6 +168,9 @@ def run_e2e(model_name: str, per_chip_batch: int, steps: int, warmup: int):
         "decode_only_images_per_sec": round(
             decode_only_rate(tsv, model.cfg.image_size), 1),
         "host_cores": os.cpu_count(),
+        "host_to_device_mb_per_batch": round(batch_mb, 1),
+        "implied_transfer_mbps": round(
+            batch_mb / max(batch_time - data_time, 1e-9), 1),
     }
 
 
@@ -356,6 +366,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
         "step_time_ms": round(step_time * 1e3, 2),
+        "elapsed_s": round(time.monotonic() - _T0, 1),
     }
     if flops_per_step > 0:
         # roofline accounting: is the step compute- or bandwidth-limited,
@@ -378,7 +389,7 @@ def main():
     except Exception as exn:  # pragma: no cover
         sys.stderr.write(f"env versions unavailable: {exn}\n")
 
-    if os.environ.get("BENCH_SKIP_ANCHORS") != "1" and _budget_left(30):
+    if os.environ.get("BENCH_SKIP_ANCHORS") != "1" and _budget_left(20):
         try:
             t0 = time.monotonic()
             streaming_gbps, matmul_tflops = _roofline_anchors()
@@ -404,7 +415,7 @@ def main():
         except Exception as exn:  # pragma: no cover - backend dependent
             sys.stderr.write(f"roofline anchors unavailable: {exn}\n")
 
-    if os.environ.get("BENCH_SKIP_EVAL") != "1" and _budget_left(45):
+    if os.environ.get("BENCH_SKIP_EVAL") != "1" and _budget_left(35):
         try:
             t0 = time.monotonic()
             eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "250"))
