@@ -182,6 +182,7 @@ def main_e2e():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     import jax
 
+    _force_platform()
     e2e = run_e2e(model_name, per_chip_batch, steps, warmup)
     del jax
     _emit(dict({
@@ -309,9 +310,22 @@ def _roofline_anchors(steps: int = 10):
     return round(gbps, 1), round(tflops, 1)
 
 
+def _force_platform():
+    """BENCH_PLATFORM=cpu pins the backend via the CONFIG (the axon
+    sitecustomize hook overrides the JAX_PLATFORMS env var) — used by the
+    artifact-contract test to exercise the real bench flow off-TPU."""
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main():
     import jax
     import numpy as np
+
+    _force_platform()
 
     from xclip_tpu.core.precision import get_policy
     from xclip_tpu.models.factory import create_model
