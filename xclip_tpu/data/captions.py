@@ -18,7 +18,7 @@ import random
 import warnings
 from typing import Dict, List
 
-from xclip_tpu.data.text_clean import normalize_whitespace
+from xclip_tpu.data.text_clean import normalize_whitespace_textacy
 
 DOMAIN_TERMS: Dict[str, List[str]] = {
     "all": ["image", "picture"],
@@ -123,12 +123,14 @@ def generate_sketch_captions(imagenet_path: str, seed: int = 42) -> None:
 
 
 def imagenet_caption_from_sample(sample: dict) -> str:
-    """title;tags;description (reference create_caption_from_sample)."""
+    """title;tags;description (reference create_caption_from_sample,
+    scripts/generate_imagenet_captions.py:11-22): textacy-exact whitespace
+    normalization so the TSV bytes match on newline-bearing Flickr text."""
     title = sample["title"]
     tags = " ".join(sample["tags"])
     desc = sample["description"]
     caption = "; ".join(part for part in (title, tags, desc) if part != "")
-    return normalize_whitespace(caption)
+    return normalize_whitespace_textacy(caption)
 
 
 def generate_imagenet_captions(
