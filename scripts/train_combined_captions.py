@@ -20,6 +20,7 @@ from xclip_tpu.train.learner import (
     Classifier,
     ClassifierCfg,
     load_classifier,
+    make_classifier_eval_step,
     make_classifier_train_step,
     save_classifier,
 )
@@ -54,10 +55,11 @@ def train(args):
                             num_threads=args.num_workers or 8, collate=collate)
 
     mesh = create_mesh()
+    precision = "bf16" if "16" in str(args.precision) else "fp32"
     step, tx = make_classifier_train_step(
-        model, mesh, steps_per_epoch=train_loader.num_batches,
-        precision="bf16" if "16" in str(args.precision) else "fp32",
+        model, mesh, steps_per_epoch=train_loader.num_batches, precision=precision,
     )
+    eval_step = make_classifier_eval_step(model, mesh, precision=precision)
     opt_state = tx.init(params)
 
     ckpt_dir = os.path.join(args.ws_path or ".", "checkpoints", args.experiment_name)
@@ -95,12 +97,20 @@ def train(args):
         save_classifier(os.path.join(ckpt_dir, "last.npz"), model, params, state,
                         {"epoch": completed})
 
-        # validation pass
+        # validation pass: forward-only over the full val loader (reference
+        # Lightning validation_step; the train step donates its inputs, so
+        # it must not be reused here)
         v_loss, v_acc, n = 0.0, 0.0, 0
         for batch in val_loader:
-            _, _, _, metrics = step(params, state, opt_state, batch)  # metrics only; params donated!
-            break  # cheap sanity pass; full eval via evaluate_domainnet_supervised_lso.py
-        logging.info("epoch %d done", completed)
+            metrics = eval_step(params, state, batch)
+            v_loss += float(metrics["val_loss"])
+            v_acc += float(metrics["val_accuracy"])
+            n += 1
+        if n:
+            logging.info("epoch %d done: val_loss %.4f val_acc %.4f",
+                         completed, v_loss / n, v_acc / n)
+        else:
+            logging.info("epoch %d done", completed)
 
 
 if __name__ == "__main__":

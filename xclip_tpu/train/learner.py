@@ -140,6 +140,39 @@ def make_classifier_train_step(model: Classifier, mesh: Mesh, *, steps_per_epoch
     ), tx
 
 
+def make_classifier_eval_step(model: Classifier, mesh: Mesh, *,
+                              precision: str = "bf16") -> Callable:
+    """Forward-only loss/accuracy over a data-parallel batch (the reference
+    Lightning validation_step, xclip/learner.py:60-71). Unlike the train
+    step this does NOT donate its inputs, so the trainer's params survive
+    the validation pass."""
+    from xclip_tpu.core.precision import get_policy
+
+    dtype = get_policy(precision).compute_dtype
+
+    def local_eval(params, state, images, labels):
+        logits, _ = model.apply(params, state, images, train=False, dtype=dtype)
+        logz = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+        loss = jax.lax.pmean(jnp.mean(logz - picked), DATA_AXIS)
+        acc = jax.lax.pmean(
+            jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)), DATA_AXIS)
+        return loss, acc
+
+    sharded = shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def eval_step(params, state, batch):
+        loss, acc = sharded(params, state, batch["images"], batch["labels"])
+        return {"val_loss": loss, "val_accuracy": acc}
+
+    return jax.jit(eval_step)
+
+
 def save_classifier(path: str, model: Classifier, params, state, extras: Optional[dict] = None):
     from xclip_tpu.core.checkpoint import save_native
 
