@@ -42,6 +42,11 @@ elif [ -f "logs/$EXPDIR/.RUNNING_$MODEL-$IDENTIFIER" ]; then
   echo "Experiment $NAME running. Aborting."; exit 0
 elif [ -f "logs/$NAME/checkpoints/epoch_latest.pt" ]; then
   RESUME="--resume latest"
+elif [ -d "logs/$NAME" ]; then
+  # exists, <1 epoch trained, not running: remove so the trainer gets a
+  # fresh experiment dir (reference slurm/train-clip.sh:135-138)
+  echo "Experiment $NAME exists, not fully trained and not running. Removing."
+  rm -r "logs/$NAME"
 fi
 
 mkdir -p "logs/$EXPDIR"
