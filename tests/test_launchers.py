@@ -115,3 +115,60 @@ def test_lockfile_resume_protocol(tmp_path):
     assert "Removing" in proc.stdout
     assert "--resume" not in argv
     assert not (tmp_path / "logs" / name).exists()
+
+
+OTHER_LAUNCHERS = [
+    ("train-clip-ccxm.sh",
+     {"DATAID": "lso-cipqrs-nosketchclasses", "MODE": "cc12m", "SEED": "1"},
+     {"--train-data": "data/indices/cc12m-train-lso-cipqrs-nosketchclasses.tsv",
+      "--warmup": "2000", "--batch-size": "128", "--accum-freq": "2",
+      "--name": "clip-ccxm/RN50-cc12m-lso-cipqrs-nosketchclasses-s1"}),
+    ("train-supervised.sh",
+     {"DATAID": "lso-cr-noclipartclasses", "LR": "0.05"},
+     {"--train_index_path": "data/indices/combined-captions-train-lso-cr-noclipartclasses.tsv",
+      "--experiment_name": "supervised-lso-cr-noclipartclasses-lr0.05",
+      "--learning_rate": "0.05", "--batch_size": "256", "--max_epochs": "90"}),
+    ("evaluate-clip.sh",
+     {"MODEL_DIR": "logs/clip/RN50-x", "DOMAIN": "sketch",
+      "IMAGENET": "/data/in", "DOMAINNET": "/data/dn"},
+     {"--model": "RN50", "--domain": "sketch", "--imagenet_path": "/data/in",
+      "--out_path": "logs/clip/RN50-x/lso-eval-sketch"}),
+    ("evaluate-supervised.sh",
+     {"CKPT_DIR": "ckpts", "DOMAIN": "painting", "DOMAINNET": "/data/dn"},
+     {"--model": "rn50-clip", "--domain": "painting",
+      "--out_path": "ckpts/lso-eval-painting"}),
+    ("train-sae.sh",
+     {"CKPT": "logs/x/epoch_32.pt", "DN": "/data/dn", "EPOCHS": "7"},
+     {"--ckpt_path": "logs/x/epoch_32.pt", "--l1_coeff": "1e-4",
+      "--train_sae_bs": "4096", "--expansion_factor": "4", "--num_epochs": "7"}),
+    ("subsample-domainnet.sh",
+     {"DN": "/data/dn"},
+     {"--domainnet_path": "/data/dn", "--indices_path": "data/indices"}),
+]
+
+
+@pytest.mark.parametrize("script,env,expected",
+                         OTHER_LAUNCHERS, ids=[s for s, _, _ in OTHER_LAUNCHERS])
+def test_other_launchers_flag_surface(tmp_path, script, env, expected):
+    """Each remaining launcher invokes its entry point with the reference's
+    flag surface (slurm/*.sh equivalents)."""
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir(exist_ok=True)
+    args_out = tmp_path / "argv.txt"
+    stub = bin_dir / "python"
+    stub.write_text(f'#!/bin/bash\necho "$@" >> "{args_out}"\n')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "launchers", script)], cwd=tmp_path,
+        env=dict(os.environ, PATH=f"{bin_dir}:{os.environ['PATH']}", **env),
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 0, proc.stderr
+    invocations = [line.split() for line in args_out.read_text().splitlines()]
+    assert invocations
+    for flag, value in expected.items():
+        assert any(_flag(argv, flag) == value for argv in invocations), (flag, invocations)
+    if script == "subsample-domainnet.sh":
+        # 5 domains x 3 mixture variants + real-only (reference grid)
+        assert len(invocations) == 16
+        assert sum("--real_only" in argv for argv in invocations) == 1
+        assert sum("--single_domain" in argv for argv in invocations) == 5
