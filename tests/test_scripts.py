@@ -74,19 +74,29 @@ def test_domainnet_caption_byte_parity(domainnet_tree, tmp_path):
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
 def test_sketch_caption_byte_parity():
+    import importlib
     import sys
     import types
 
     from ref_compat import import_reference_module
 
-    # the reference script imports xclip.datasets only for the dataset class
+    # The reference script imports xclip.datasets only for the dataset
+    # class. Another test module may already have installed an xclip stub
+    # (test_mixture_scripts) or a package shell over the reference tree
+    # (ref_compat.setup_reference_xclip) — ensure the attribute exists on
+    # whatever is there rather than assuming we stubbed first.
     if "xclip" not in sys.modules:
         xclip = types.ModuleType("xclip")
-        ds = types.ModuleType("xclip.datasets")
-        ds.ImageNetSketch = object
-        xclip.datasets = ds
         sys.modules["xclip"] = xclip
-        sys.modules["xclip.datasets"] = ds
+    if "xclip.datasets" not in sys.modules:
+        try:
+            importlib.import_module("xclip.datasets")
+        except ImportError:
+            ds = types.ModuleType("xclip.datasets")
+            sys.modules["xclip.datasets"] = ds
+            sys.modules["xclip"].datasets = ds
+    if not hasattr(sys.modules["xclip.datasets"], "ImageNetSketch"):
+        sys.modules["xclip.datasets"].ImageNetSketch = object
     ref = import_reference_module(
         "ref_gen_sk", "/root/reference/scripts/generate_sketch_captions.py"
     )
