@@ -20,9 +20,10 @@ architecture (Liu et al., arXiv:2103.14030; timm swin_transformer.py):
 
 Checkpoints use the open_clip TimmModel naming (``visual.trunk.*`` +
 ``visual.head.proj``); the ``relative_position_index`` buffers are exported
-for reference compatibility and regenerated (not read) on load. NOTE: with
-timm absent there is no numerics oracle in this image — shapes, naming, and
-the state-dict round-trip are tested; golden parity is pending a
+for reference compatibility and regenerated (not read) on load. Numerics oracle:
+tests/test_cross_impl_towers.py loads weights from transformers' INDEPENDENT
+torch SwinModel (shifted windows, rel-pos bias, patch merging) and asserts
+pooled-feature parity; timm-vs-this golden parity additionally pends a
 timm-equipped environment (TODO.md).
 """
 

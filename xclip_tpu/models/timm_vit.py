@@ -26,9 +26,10 @@ implementation of the timm VisionTransformer forward path:
 
 Checkpoints use the open_clip TimmModel naming (``visual.trunk.*`` +
 ``visual.head.*``) so published SigLIP CLIP weights load once available.
-NOTE: with timm absent there is no numerics oracle in this image — shapes,
-naming, and the state-dict round-trip are tested; golden parity is marked
-pending a timm-equipped environment (TODO.md).
+Numerics oracle: tests/test_cross_impl_towers.py loads weights from
+transformers' INDEPENDENT torch SiglipVisionModel (trunk + attention-pool
+head) and asserts pooled-feature parity; timm-vs-this golden parity on the
+published configs additionally pends a timm-equipped environment (TODO.md).
 """
 
 from __future__ import annotations
