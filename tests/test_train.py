@@ -69,6 +69,87 @@ def test_clip_loss_matches_reference_torch():
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
 
 
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_siglip_loss_matches_reference_torch():
+    """siglip_loss (dense, world_size=1 path) == the reference SigLipLoss
+    (loss.py:307-361): -logsigmoid(z*logits).sum()/B with +1 diag / -1
+    off-diag labels and the additive logit bias."""
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+    from open_clip.loss import SigLipLoss
+
+    img, txt = _rand_features(b=12)
+    scale, bias = 17.3, -8.1
+    ref = SigLipLoss()(torch.from_numpy(img), torch.from_numpy(txt),
+                       torch.tensor(scale), torch.tensor(bias))
+    got = siglip_loss(jnp.asarray(img), jnp.asarray(txt),
+                      jnp.asarray(scale), jnp.asarray(bias))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert open_clip is not None
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_coca_loss_matches_reference_torch():
+    """coca_loss parts == the reference CoCaLoss (loss.py:134-177):
+    weighted contrastive + caption CE with ignore_index=pad_id."""
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+    from open_clip.loss import CoCaLoss
+
+    from xclip_tpu.models.coca import coca_loss
+
+    rng = np.random.RandomState(3)
+    img, txt = _rand_features(b=10, seed=3)
+    vocab, seq, pad_id = 64, 7, 0
+    logits = rng.randn(10, seq, vocab).astype(np.float32)
+    labels = rng.randint(0, vocab, size=(10, seq)).astype(np.int64)
+    labels[:, -2:] = pad_id  # exercise the ignore mask
+    scale = 55.0
+
+    ref_clip, ref_cap = CoCaLoss(caption_loss_weight=2.0, clip_loss_weight=1.0, pad_id=pad_id)(
+        torch.from_numpy(img), torch.from_numpy(txt),
+        torch.from_numpy(logits), torch.from_numpy(labels), torch.tensor(scale))
+    total, parts = coca_loss(
+        {"image_features": jnp.asarray(img), "text_features": jnp.asarray(txt),
+         "logits": jnp.asarray(logits), "labels": jnp.asarray(labels.astype(np.int32)),
+         "logit_scale": jnp.asarray(scale)},
+        caption_loss_weight=2.0, clip_loss_weight=1.0, pad_id=pad_id)
+    np.testing.assert_allclose(float(parts["contrastive_loss"]), float(ref_clip), rtol=1e-5)
+    np.testing.assert_allclose(float(parts["caption_loss"]), float(ref_cap), rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(ref_clip) + float(ref_cap), rtol=1e-5)
+    assert open_clip is not None
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference tree not mounted")
+def test_distill_loss_matches_reference_torch():
+    """distill_clip_loss == the reference DistillClipLoss (loss.py:180-216):
+    CE to ground truth + soft CE to the teacher's logit distribution."""
+    from ref_compat import import_reference_open_clip
+
+    open_clip = import_reference_open_clip()
+    import torch
+    from open_clip.loss import DistillClipLoss
+
+    from xclip_tpu.train.loss import distill_clip_loss
+
+    img, txt = _rand_features(b=12, seed=1)
+    t_img, t_txt = _rand_features(b=12, seed=2)
+    scale, t_scale = 30.0, 100.0
+    ref_con, ref_dist = DistillClipLoss()(
+        torch.from_numpy(img), torch.from_numpy(txt), torch.tensor(scale),
+        torch.from_numpy(t_img), torch.from_numpy(t_txt), torch.tensor(t_scale))
+    got_con, got_dist = distill_clip_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.asarray(scale),
+        jnp.asarray(t_img), jnp.asarray(t_txt), jnp.asarray(t_scale))
+    np.testing.assert_allclose(float(got_con), float(ref_con), rtol=1e-5)
+    np.testing.assert_allclose(float(got_dist), float(ref_dist), rtol=1e-5)
+    assert open_clip is not None
+
+
 def test_sharded_local_loss_equals_global():
     """8-way sharded local-loss (all_gather row blocks) == single-device
     global loss, and its gradient too (gather-with-grad semantics)."""
