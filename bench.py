@@ -366,7 +366,10 @@ def main():
     mesh = create_mesh()
     model, params, state = create_model(model_name, precision="bf16")
     _trace("model created (params on device)")
-    tx = optim.adamw(schedule.cosine_lr(1e-3, 500, 10000), weight_decay=0.2)
+    # BENCH_MU_DTYPE=bfloat16 A/Bs a bf16 first-moment store (saves ~0.8GB
+    # of HBM traffic per step on RN50); default fp32 = reference parity.
+    tx = optim.adamw(schedule.cosine_lr(1e-3, 500, 10000), weight_decay=0.2,
+                     mu_dtype=os.environ.get("BENCH_MU_DTYPE"))
     opt_state = tx.init(params)
     _trace("optimizer state init")
     step = CompiledStep(

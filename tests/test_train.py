@@ -217,6 +217,25 @@ def test_schedule_parity():
         np.testing.assert_allclose(float(mine(step)), opt.param_groups[0]["lr"], rtol=1e-4, atol=1e-9)
 
 
+def test_adamw_mu_dtype_bf16():
+    """mu_dtype='bfloat16' stores the first moment in bf16 (the HBM-traffic
+    A/B knob; default None keeps fp32 reference parity) and the first-step
+    update matches fp32 within bf16 rounding."""
+    params = {"w": jnp.ones((4, 4)) * 0.5, "bias": jnp.zeros((4,))}
+    grads = {"w": jnp.ones((4, 4)) * 0.1, "bias": jnp.ones((4,)) * 0.2}
+
+    tx32 = optim.adamw(1e-2, weight_decay=0.1)
+    txbf = optim.adamw(1e-2, weight_decay=0.1, mu_dtype="bfloat16")
+    s32, sbf = tx32.init(params), txbf.init(params)
+    mu = jax.tree_util.tree_leaves(sbf)[0]  # first moment pytree leaf
+    assert any(l.dtype == jnp.bfloat16 for l in jax.tree_util.tree_leaves(sbf))
+    del mu
+    u32, _ = tx32.update(grads, s32, params)
+    ubf, _ = txbf.update(grads, sbf, params)
+    np.testing.assert_allclose(np.asarray(ubf["w"]), np.asarray(u32["w"]),
+                               rtol=1e-2, atol=1e-6)
+
+
 def test_wd_mask_rule():
     model = CLIPModel(clip_cfg_from_dict(TINY_RN))
     params, _ = model.init(jax.random.PRNGKey(0))

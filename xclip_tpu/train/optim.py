@@ -132,7 +132,11 @@ def adamw(
     eps: float = 1e-8,
     weight_decay: float = 0.2,
     grad_clip_norm: float = 0.0,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    # mu_dtype=bfloat16 stores the first moment in bf16 (halves its HBM
+    # read+write in the fused update). Default None keeps fp32 — exact
+    # parity with the reference torch.optim.AdamW (main.py:311-326).
     tx = optax.adamw(
         learning_rate,
         b1=beta1,
@@ -140,6 +144,7 @@ def adamw(
         eps=eps,
         weight_decay=weight_decay,
         mask=wd_mask,
+        mu_dtype=mu_dtype,
     )
     if grad_clip_norm and grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
