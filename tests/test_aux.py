@@ -483,3 +483,52 @@ def test_init_distributed_from_env(monkeypatch):
     monkeypatch.setenv("SLURM_NODELIST", "node[12-15],node20")
     assert M.init_distributed_from_env() == (0, 1, 4)
     assert calls[-1] == ("node12:29500", 4, 1)
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference"), reason="reference tree not mounted")
+def test_pretrained_catalog_full_reference_parity():
+    """EVERY reference (model, tag) resolves here with the identical URL /
+    hf-hub id and preprocess constants (VERDICT r4: complete the zoo). The
+    catalog is regenerated programmatically by tools/sync_pretrained_catalog
+    from the reference registry (pretrained.py:82-516); this pins the
+    committed JSON to it."""
+    import importlib.util
+
+    from xclip_tpu.models import pretrained as P
+
+    spec = importlib.util.spec_from_file_location(
+        "sync_cat", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "sync_pretrained_catalog.py"))
+    sync = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sync)
+    ref = sync.load_reference_registry()
+    assert sum(len(t) for t in ref.values()) >= 140
+
+    for model, tags in ref.items():
+        got_tags = P.list_pretrained_tags_by_model(model)
+        for tag, rcfg in tags.items():
+            assert tag in got_tags, f"({model}, {tag}) missing from catalog"
+            mine = P.get_pretrained_cfg(model, tag)
+            assert mine.get("url", "") == rcfg.get("url", ""), (model, tag)
+            assert mine.get("hf_hub", "") == rcfg.get("hf_hub", ""), (model, tag)
+            pre = P.get_preprocess_cfg(model, tag)
+            assert pre["mean"] == pytest.approx(tuple(rcfg["mean"])), (model, tag)
+            assert pre["std"] == pytest.approx(tuple(rcfg["std"])), (model, tag)
+            assert pre["interpolation"] == rcfg["interpolation"], (model, tag)
+            assert pre["resize_mode"] == rcfg["resize_mode"], (model, tag)
+
+    # and the committed JSON is exactly what the sync tool would write
+    assert sync.normalize(ref) == P._PRETRAINED
+
+
+def test_pretrained_catalog_models_have_configs():
+    """Every catalogued model resolves to a shipped config, except the two
+    hub-config-only ViTamin-384 entries the reference also has no local
+    config for (model_configs/ has no ViTamin-L-384/L2-384 either)."""
+    from xclip_tpu.models import pretrained as P
+    from xclip_tpu.models.factory import list_models
+
+    known = set(list_models())
+    hub_only = {"ViTamin-L-384", "ViTamin-L2-384"}
+    missing = {m for m in P._PRETRAINED if m not in known} - hub_only
+    assert not missing, f"catalog models without configs: {sorted(missing)}"

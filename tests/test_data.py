@@ -334,3 +334,36 @@ def test_aug_cfg_timm_branch_native():
     cfg0 = AugmentationCfg(use_timm=True, scale=(0.9, 1.0))
     outs = image_transform(32, is_train=True, seed=3, aug_cfg=cfg0)(img)
     assert outs.shape == (32, 32, 3)
+
+
+def test_device_prefetcher_order_and_early_exit():
+    """DevicePrefetcher yields placed batches in order, propagates placement
+    errors, and shuts its worker down on early exit (train/main.py
+    --batch-prefetch path)."""
+    import jax
+
+    from xclip_tpu.data.device_prefetch import DevicePrefetcher, prefetch_to_device
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+
+    batches = [{"images": np.full((8, 4), i, np.float32),
+                "texts": np.full((8, 3), i, np.int32)} for i in range(6)]
+    mesh = create_mesh()
+    got = list(prefetch_to_device(iter(batches), mesh, depth=2))
+    assert len(got) == 6
+    for i, b in enumerate(got):
+        assert isinstance(b["images"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["images"]), batches[i]["images"])
+        assert b["images"].sharding == shard_batch(mesh, batches[i])["images"].sharding
+
+    # early exit: breaking mid-iteration must not hang or leak
+    pre = DevicePrefetcher(iter(batches), lambda b: shard_batch(mesh, b), depth=1)
+    it = iter(pre)
+    next(it), next(it)
+    it.close()  # generator close runs the finally-block drain
+
+    # placement errors surface on the consumer side
+    def boom(b):
+        raise RuntimeError("bad placement")
+
+    with pytest.raises(RuntimeError, match="bad placement"):
+        list(DevicePrefetcher(iter(batches), boom, depth=2))

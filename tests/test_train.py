@@ -227,9 +227,9 @@ def test_adamw_mu_dtype_bf16():
     tx32 = optim.adamw(1e-2, weight_decay=0.1)
     txbf = optim.adamw(1e-2, weight_decay=0.1, mu_dtype="bfloat16")
     s32, sbf = tx32.init(params), txbf.init(params)
-    mu = jax.tree_util.tree_leaves(sbf)[0]  # first moment pytree leaf
     assert any(l.dtype == jnp.bfloat16 for l in jax.tree_util.tree_leaves(sbf))
-    del mu
+    # the default (mu_dtype=None) must keep every moment fp32 (reference parity)
+    assert not any(l.dtype == jnp.bfloat16 for l in jax.tree_util.tree_leaves(s32))
     u32, _ = tx32.update(grads, s32, params)
     ubf, _ = txbf.update(grads, sbf, params)
     np.testing.assert_allclose(np.asarray(ubf["w"]), np.asarray(u32["w"]),

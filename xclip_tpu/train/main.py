@@ -174,7 +174,7 @@ def save_checkpoint(args, model, params, state, opt_state, epoch: int, step_tag:
 
 
 def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args, info,
-                    tb_writer=None, wandb_run=None) -> tuple:
+                    tb_writer=None, wandb_run=None, place_batch=None) -> tuple:
     data["train"].set_epoch(epoch)
     loader = data["train"]
     num_batches_per_epoch = loader.num_batches
@@ -198,8 +198,34 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
         profiling = True
         logging.info(f"profiling {profile_steps} steps -> {trace_dir}")
 
+    # Input overlap + deferred sync: with place_batch set, host->device
+    # transfers of batch N+1 run on a background thread while the device
+    # executes step N (the reference's pinned-memory non_blocking=True copy,
+    # train.py:98-101), and the per-step hard sync (float(loss)) is deferred
+    # to the log boundary — steps chain device-side through donated params,
+    # so the host never serializes transfer+compute+fetch. Per-step losses
+    # are kept as device scalars and fetched in ONE device_get per window,
+    # preserving the reference's every-step loss meter updates exactly.
+    batches = loader
+    depth = getattr(args, "batch_prefetch", 2) or 0
+    if place_batch is not None and depth > 0:
+        from xclip_tpu.data.device_prefetch import DevicePrefetcher
+
+        batches = DevicePrefetcher(loader, place_batch, depth=depth)
+    pending = []  # [(device_loss, device_logit_scale)] since the last sync
+    last = {"scale": 0.0}
+
+    def sync_pending():
+        if pending:
+            vals = jax.device_get(pending)
+            for loss, _scale in vals:
+                losses_m.update(float(loss), n=args.batch_size)
+            del pending[:]
+            last["scale"] = float(vals[-1][1])
+        return last["scale"]  # last synced step's logit scale, for the log line
+
     needs_rng = getattr(step_fn, "needs_rng", False)
-    for i, batch in enumerate(loader):
+    for i, batch in enumerate(batches):
         step = num_batches_per_epoch * epoch + i
         data_time_m.update(time.time() - end)
         gpu_start = time.time()
@@ -211,36 +237,47 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
         # stats fixed (all model state IS visual BN stats)
         if not (args.lock_image and args.lock_image_freeze_bn_stats):
             state = new_state
-        loss = float(metrics["loss"])  # hard sync
+        pending.append((metrics["loss"], metrics["logit_scale"]))
+        if profiling:
+            sync_pending()  # per-step sync keeps the trace window faithful
 
         gpu_time_m.update(time.time() - gpu_start)
-        batch_time_m.update(time.time() - end)
-        end = time.time()
-        losses_m.update(loss, n=args.batch_size)
 
         if profiling and i + 1 >= profile_steps:
             jax.profiler.stop_trace()
             profiling = False
 
         batch_count = i + 1
-        if batch_count % args.log_every_n_steps == 0 or batch_count == num_batches_per_epoch:
+        logging_now = (
+            batch_count % args.log_every_n_steps == 0 or batch_count == num_batches_per_epoch
+        )
+        if logging_now:
+            scale_val = sync_pending()  # hard sync: the window's device time
+            # lands in this step's batch_time, so the window AVG is exact
+        batch_time_m.update(time.time() - end)
+        end = time.time()
+
+        if logging_now:
             num_samples = batch_count * args.batch_size * args.accum_freq * info.world_size
             samples_per_epoch = loader.num_samples
             percent_complete = 100.0 * batch_count / num_batches_per_epoch
-            samples_per_second = args.accum_freq * args.batch_size * info.world_size / batch_time_m.val
-            samples_per_second_per_gpu = args.accum_freq * args.batch_size / batch_time_m.val
+            # .avg, not .val: with deferred sync the whole window's device
+            # time is attributed to the boundary step, so only the windowed
+            # mean is meaningful (== the reference's steady-state .val)
+            samples_per_second = args.accum_freq * args.batch_size * info.world_size / batch_time_m.avg
+            samples_per_second_per_gpu = args.accum_freq * args.batch_size / batch_time_m.avg
             logging.info(
                 f"Train Epoch: {epoch} [{num_samples:>{sample_digits}}/{samples_per_epoch} ({percent_complete:.0f}%)] "
                 f"Loss: {losses_m.val:#.5g} ({losses_m.avg:#.4g}) "
                 f"Data (t): {data_time_m.avg:.3f} "
                 f"Batch (t): {batch_time_m.avg:.3f}, {samples_per_second:#g}/s, "
                 f"{samples_per_second_per_gpu:#g}/s/gpu "
-                f"Scale: {float(metrics['logit_scale']):.3f}"
+                f"Scale: {scale_val:.3f}"
             )
             if tb_writer is not None or wandb_run is not None:
                 log_data = [
                     ("train/loss", losses_m.val),
-                    ("train/logit_scale", float(metrics["logit_scale"])),
+                    ("train/logit_scale", scale_val),
                     ("train/samples_per_second", samples_per_second),
                     ("train/samples_per_second_per_gpu", samples_per_second_per_gpu),
                     ("train/data_time", data_time_m.avg),
@@ -261,6 +298,7 @@ def train_one_epoch(model, step_fn, params, state, opt_state, data, epoch, args,
             args.next_log_ckpt_step = next_log_step = next_log_step * 2
             save_checkpoint(args, model, params, state, opt_state, epoch, step_tag=f"_step_{step}")
 
+    sync_pending()  # loaders may yield != num_batches; never drop meter updates
     if profiling:  # epoch shorter than --profile-steps
         jax.profiler.stop_trace()
     return params, state, opt_state
@@ -588,11 +626,21 @@ def main(argv=None) -> int:
             wandb_run.finish()
         return 0
 
+    # transfer/compute overlap: the dp and ZeRO steps consume data-axis
+    # sharded batches (step.py/step_pjit.py in_shardings), so the prefetch
+    # thread can place them ahead of dispatch; the tp/pp/sp research steps
+    # keep their own (mesh-specific) placement inside jit
+    place_batch = None
+    if args.parallelism in ("shard_map", "zero") and getattr(args, "batch_prefetch", 2):
+        from xclip_tpu.parallel.mesh import shard_batch
+
+        place_batch = lambda b: shard_batch(mesh, b)
+
     for epoch in range(start_epoch, args.epochs):
         logging.info(f"Start epoch {epoch}")
         params, state, opt_state = train_one_epoch(
             model, step_fn, params, state, opt_state, data, epoch, args, info, tb_writer,
-            wandb_run=wandb_run,
+            wandb_run=wandb_run, place_batch=place_batch,
         )
         completed_epoch = epoch + 1
 

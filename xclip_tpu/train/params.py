@@ -57,6 +57,11 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="path to an extracted ImageNet-V2 tree for zero-shot eval")
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--train-num-samples", type=int, default=None)
+    parser.add_argument("--batch-prefetch", type=int, default=2,
+                        help="batches to device_put ahead of the step on a "
+                        "background thread (transfer/compute overlap, the "
+                        "pinned-memory non_blocking copy equivalent); 0 "
+                        "disables and feeds host batches synchronously")
     # model
     parser.add_argument("--model", type=str, default="RN50")
     parser.add_argument("--pretrained", type=str, default="")
