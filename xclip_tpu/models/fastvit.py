@@ -25,9 +25,12 @@ published unfused checkpoints load:
 
 BatchNorm makes this family STATEFUL (running stats in the state pytree).
 Checkpoints use the open_clip TimmModel naming (``visual.trunk.*``).
-NOTE: with timm absent there is no numerics oracle in this image — shapes,
-naming, and the state-dict round-trip are tested; golden parity is pending
-a timm-equipped environment (TODO.md).
+Numerics are pinned by an independent full-forward numpy oracle
+(tests/oracles/np_fastvit.py via tests/test_tower_oracles.py: stem,
+RepMixer difference form, attention stage + CPE, SE, LayerScale, eval BN)
+in addition to the state-dict round-trip and committed goldens;
+published-weight parity remains pending a timm-equipped environment
+(TODO.md).
 """
 
 from __future__ import annotations

@@ -18,9 +18,12 @@ functional implementation of the timm ``vit_base_mci_224`` hybrid
 BatchNorm makes this family STATEFUL (running mean/var live in the state
 pytree; training uses per-device batch stats like the reference's
 unsynced DDP BN). Checkpoints use the open_clip TimmModel naming
-(``visual.trunk.*``). NOTE: with timm absent there is no numerics oracle
-in this image — shapes, naming, and the state-dict round-trip are tested;
-golden parity is pending a timm-equipped environment (TODO.md).
+(``visual.trunk.*``). Numerics are pinned by an independent full-forward
+numpy oracle (tests/oracles/np_mci.py via tests/test_tower_oracles.py:
+valid-padding conv stem, no_embed_class pos-embed order, token pool) in
+addition to the state-dict round-trip and committed goldens;
+published-weight parity remains pending a timm-equipped environment
+(TODO.md).
 """
 
 from __future__ import annotations

@@ -26,9 +26,12 @@ reference's ViTamin-XL-384 config feeds 256px into the 384-native trunk).
 
 Checkpoints use the open_clip TimmModel naming
 (``visual.trunk.patch_embed.backbone.*`` + ``visual.trunk.blocks.*`` +
-``visual.head.proj``). NOTE: with timm absent there is no numerics oracle
-in this image — shapes, naming, and the state-dict round-trip are tested;
-golden parity is pending a timm-equipped environment (TODO.md).
+``visual.head.proj``). Numerics are pinned by an independent full-forward
+numpy oracle (tests/oracles/np_vitamin.py via tests/test_tower_oracles.py:
+stem + MBConv stages incl. the count_include_pad=False shortcut pool +
+GeGLU ViT + head) in addition to the state-dict round-trip and committed
+goldens; published-weight parity remains pending a timm-equipped
+environment (TODO.md).
 """
 
 from __future__ import annotations
