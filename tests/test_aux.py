@@ -2,6 +2,7 @@
 metrics, profiler, memory monitor, supervised classifier."""
 
 import io
+import json
 import os
 import tarfile
 
@@ -532,3 +533,51 @@ def test_pretrained_catalog_models_have_configs():
     hub_only = {"ViTamin-L-384", "ViTamin-L2-384"}
     missing = {m for m in P._PRETRAINED if m not in known} - hub_only
     assert not missing, f"catalog models without configs: {sorted(missing)}"
+
+
+def test_hf_hub_export(tmp_path):
+    """save_for_hf materializes the open_clip hub folder (weights loadable
+    by torch, config with model_cfg+preprocess_cfg, model-card README);
+    push raises with the prepared folder in zero-egress envs (reference
+    push_to_hf_hub.py:40-260)."""
+    import jax
+    import torch
+
+    from xclip_tpu.models.factory import create_model
+    from xclip_tpu.utils import hf_hub
+
+    model, params, state = create_model("RN50")
+    out = tmp_path / "hub"
+    hf_hub.save_for_hf(model, params, state, "RN50", str(out),
+                       model_card={"description": "test card",
+                                   "details": {"Dataset": "LAION-2B"}})
+    sd = torch.load(out / hf_hub.HF_WEIGHTS_NAME, map_location="cpu",
+                    weights_only=False)
+    assert "visual.conv1.weight" in sd and "logit_scale" in sd
+    cfg = json.loads((out / hf_hub.HF_CONFIG_NAME).read_text())
+    assert cfg["model_cfg"]["embed_dim"] == 1024
+    assert len(cfg["preprocess_cfg"]["mean"]) == 3
+    readme = (out / "README.md").read_text()
+    assert readme.startswith("---\n")
+    assert "library_name: open_clip" in readme
+    assert "datasets:\n- laion-2b" in readme
+    assert "# Model card for RN50" in readme
+
+    # zero-egress push: clear error naming the prepared folder
+    try:
+        import huggingface_hub  # noqa: F401
+        has_hub = True
+    except ImportError:
+        has_hub = False
+    if not has_hub:
+        with pytest.raises(RuntimeError, match="upload it"):
+            hf_hub.push_to_hf_hub(model, params, state, "RN50", "org/repo",
+                                  folder=str(tmp_path / "hub2"))
+
+    # SigLIP preprocess constants flow into the config
+    cfg_path = tmp_path / "siglip.json"
+    hf_hub.save_config_for_hf("ViT-B-16-SigLIP", str(cfg_path),
+                              pretrained_tag="webli")
+    sl = json.loads(cfg_path.read_text())
+    assert sl["preprocess_cfg"]["mean"] == [0.5, 0.5, 0.5]
+    assert sl["preprocess_cfg"]["resize_mode"] == "squash"

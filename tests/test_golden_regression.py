@@ -134,11 +134,16 @@ def test_golden_regression(model_name):
         )
 
 
-def _regen():
+def _regen(only=None, missing_only=False):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in GOLDEN_MODELS:
+        path = os.path.join(GOLDEN_DIR, name + ".npz")
+        if only and name not in only:
+            continue
+        if missing_only and os.path.exists(path):
+            continue
         out = _run_model(name)
-        np.savez(os.path.join(GOLDEN_DIR, name + ".npz"), **out)
+        np.savez(path, **out)
         shapes = {k: v.shape for k, v in out.items()}
         print(f"regenerated {name}: {shapes}", flush=True)
 
@@ -147,6 +152,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     jax.config.update("jax_platforms", "cpu")
     if "--regen" in sys.argv:
-        _regen()
+        names = [a for a in sys.argv[1:] if not a.startswith("--")]
+        _regen(only=set(names) or None, missing_only="--missing-only" in sys.argv)
     else:
         print(__doc__)

@@ -189,7 +189,12 @@ class HFTextTower:
                             "available offline — pass a local HF directory path as "
                             "hf_model_name, or set hf_model_pretrained=false"
                         )
-                    self._flax = _Cls.from_config(config, **kw)
+                    if hasattr(_Cls, "from_config"):  # Auto classes only
+                        self._flax = _Cls.from_config(config, **kw)
+                    else:
+                        # concrete Flax classes (FlaxT5EncoderModel etc.)
+                        # construct directly from the config
+                        self._flax = _Cls(config, **kw)
         self.width = getattr(config, "hidden_size", None) or getattr(config, "d_model", None)
         self.vocab_size = getattr(config, "vocab_size", 0)
         # model capacity; batches are padded to cfg.context_length (77), not this
