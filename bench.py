@@ -149,34 +149,38 @@ def run_e2e(model_name: str, per_chip_batch: int, steps: int, warmup: int):
     depth = int(os.environ.get("BENCH_PREFETCH", "2"))
     it = iter(DevicePrefetcher(batches(), lambda b: shard_batch(mesh, b), depth=depth)) \
         if depth > 0 else map(lambda b: shard_batch(mesh, b), batches())
-    # warmup (includes compile) with a hard sync at the end
-    for _ in range(warmup):
-        params, state, opt_state, metrics = step(params, state, opt_state, next(it))
-    float(metrics["loss"])
+    try:
+        # warmup (includes compile) with a hard sync at the end
+        for _ in range(warmup):
+            params, state, opt_state, metrics = step(params, state, opt_state, next(it))
+        float(metrics["loss"])
 
-    # steady state: per-step host wait (decode + any un-hidden transfer) is
-    # measured directly; device work is pipelined (donated params chain
-    # step-to-step) and synced once at the end — per-step value fetches
-    # would add a relay RTT to every step.
-    data_t = []
-    t0 = time.perf_counter()
-    end = t0
-    for _ in range(steps):
-        batch = next(it)
-        data_t.append(time.perf_counter() - end)
-        params, state, opt_state, metrics = step(params, state, opt_state, batch)
-        end = time.perf_counter()
-    float(metrics["loss"])
-    batch_time = (time.perf_counter() - t0) / steps
-    data_time = float(np.mean(data_t))
+        # steady state: per-step host wait (decode + any un-hidden transfer)
+        # is measured directly; device work is pipelined (donated params
+        # chain step-to-step) and synced once at the end — per-step value
+        # fetches would add a relay RTT to every step.
+        data_t = []
+        t0 = time.perf_counter()
+        end = t0
+        for _ in range(steps):
+            batch = next(it)
+            data_t.append(time.perf_counter() - end)
+            params, state, opt_state, metrics = step(params, state, opt_state, batch)
+            end = time.perf_counter()
+        float(metrics["loss"])
+        batch_time = (time.perf_counter() - t0) / steps
+        data_time = float(np.mean(data_t))
+    finally:
+        if hasattr(it, "close"):
+            it.close()  # stop the producer before the decode-only probe
     # uint8 batch bytes shipped host->device per step: on a tunneled (axon
-    # relay) terminal the ~23 MB/s link makes THIS the e2e ceiling, not
-    # decode — r4 measurement (pre-overlap): 19.3 MB/batch ~= 0.82s of the
-    # 1.10s serialized batch_time. With the double-buffered prefetcher the
-    # expected steady state is batch_time ~ max(transfer, compute): on this
-    # relay still transfer-bound (data_time ~ transfer - compute, so
-    # stall_fraction stays high by construction), on a real TPU host
-    # (PCIe/DMA) decode-bound with stall ~ 0.
+    # relay) terminal the ~18-23 MB/s link (session-varying) makes THIS the
+    # e2e ceiling, not decode. With the double-buffered prefetcher the
+    # steady state is batch_time ~ pure transfer time (decode + compute
+    # fully hidden): measured r5, implied_transfer_mbps == the probe-
+    # measured wire rate, i.e. ~100% wire utilization vs ~75% for the r4
+    # serialized loop. On a real TPU host (PCIe/DMA) the decode ceiling
+    # (decode_only_images_per_sec) governs instead.
     batch_mb = global_batch * model.cfg.image_size ** 2 * 3 / 1e6
     return {
         "images_per_sec_per_chip": round(global_batch / batch_time / jax.device_count(), 2),

@@ -32,28 +32,41 @@ DEFAULTS = {
 
 
 def load_reference_registry() -> dict:
-    sys.path.insert(0, os.path.dirname(REF) + "/..")  # for `open_clip.` pkg
+    """Execute the reference pretrained.py in isolation and return its
+    _PRETRAINED table. The fake ``open_clip`` package entries needed for
+    its relative imports are restored afterwards — leaking them breaks any
+    later real `import open_clip` (e.g. tests/ref_compat.py consumers in
+    the same pytest session)."""
     from tests.ref_compat import install_stubs
 
     install_stubs()
     spec = importlib.util.spec_from_file_location("ref_pretrained", REF)
     mod = importlib.util.module_from_spec(spec)
-    # satisfy the module's relative imports without importing the package
     import types
 
-    pkg = types.ModuleType("open_clip")
-    consts = importlib.util.module_from_spec(importlib.util.spec_from_file_location(
-        "open_clip.constants", os.path.join(os.path.dirname(REF), "constants.py")))
-    consts.__spec__.loader.exec_module(consts)
-    version = importlib.util.module_from_spec(importlib.util.spec_from_file_location(
-        "open_clip.version", os.path.join(os.path.dirname(REF), "version.py")))
-    version.__spec__.loader.exec_module(version)
-    sys.modules.setdefault("open_clip", pkg)
-    sys.modules["open_clip.constants"] = consts
-    sys.modules["open_clip.version"] = version
-    mod.__package__ = "open_clip"
-    spec.loader.exec_module(mod)
-    return mod._PRETRAINED
+    touched = ("open_clip", "open_clip.constants", "open_clip.version")
+    saved = {name: sys.modules.get(name) for name in touched}
+    try:
+        pkg = types.ModuleType("open_clip")
+        consts = importlib.util.module_from_spec(importlib.util.spec_from_file_location(
+            "open_clip.constants", os.path.join(os.path.dirname(REF), "constants.py")))
+        consts.__spec__.loader.exec_module(consts)
+        version = importlib.util.module_from_spec(importlib.util.spec_from_file_location(
+            "open_clip.version", os.path.join(os.path.dirname(REF), "version.py")))
+        version.__spec__.loader.exec_module(version)
+        if saved["open_clip"] is None:
+            sys.modules["open_clip"] = pkg
+        sys.modules["open_clip.constants"] = consts
+        sys.modules["open_clip.version"] = version
+        mod.__package__ = "open_clip"
+        spec.loader.exec_module(mod)
+        return mod._PRETRAINED
+    finally:
+        for name in touched:
+            if saved[name] is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = saved[name]
 
 
 def normalize(registry: dict) -> dict:
