@@ -770,3 +770,72 @@ def test_pjit_distill_matches_shard_map():
     assert float(m2["distill_loss"]) > 0
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_train_one_epoch_deferred_sync_meters(tmp_path, caplog):
+    """The deferred-sync epoch loop (train/main.py): per-step losses are
+    fetched in ONE device_get per log window yet the loss meter still sees
+    EVERY step (reference train.py:193-199 updates losses_m each step), the
+    log line reports the last synced logit scale, and the prefetcher path
+    (place_batch set) feeds the step device-resident batches."""
+    import logging
+    import types
+
+    from xclip_tpu.parallel.mesh import create_mesh, shard_batch
+    from xclip_tpu.train.main import train_one_epoch
+    from xclip_tpu.parallel.mesh import DistInfo
+
+    n_batches = 7
+    losses = [float(i + 1) for i in range(n_batches)]
+
+    class FakeLoader:
+        num_batches = n_batches
+        num_samples = n_batches * 8
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __iter__(self):
+            for i in range(n_batches):
+                yield {"images": np.full((8, 2), i, np.float32),
+                       "texts": np.full((8, 3), i, np.int32)}
+
+    calls = {"n": 0, "device_batches": 0}
+
+    def step_fn(params, state, opt_state, batch):
+        import jax
+
+        if isinstance(batch["images"], jax.Array):
+            calls["device_batches"] += 1
+        i = calls["n"]
+        calls["n"] += 1
+        metrics = {"loss": jnp.asarray(losses[i]),
+                   "logit_scale": jnp.asarray(100.0 + i)}
+        return params, state, opt_state, metrics
+
+    args = types.SimpleNamespace(
+        batch_size=8, accum_freq=1, log_every_n_steps=3, lock_image=False,
+        lock_image_freeze_bn_stats=False, save_logs=False, save_log_step=0,
+        next_log_ckpt_step=0, profile_steps=0, batch_prefetch=2,
+        checkpoint_path=str(tmp_path),
+    )
+    mesh = create_mesh()
+    data = {"train": FakeLoader()}
+    with caplog.at_level(logging.INFO):
+        train_one_epoch(None, step_fn, {}, {}, {}, data, 0, args,
+                        DistInfo.current(), place_batch=lambda b: shard_batch(mesh, b))
+
+    assert calls["n"] == n_batches
+    assert calls["device_batches"] == n_batches  # prefetcher placed them all
+    lines = [r.message for r in caplog.records if "Train Epoch" in r.message]
+    assert len(lines) == 3  # steps 3, 6, and the final (7th) batch
+    # meter saw every step: avg over all 7 losses on the final line
+    import re
+
+    m = re.search(r"Loss: ([\d.]+) \(([\d.]+)\)", lines[-1])
+    assert float(m.group(1)) == losses[-1]
+    assert abs(float(m.group(2)) - np.mean(losses)) < 1e-3
+    # Scale on each log line is the last SYNCED step's logit_scale
+    assert "Scale: 102.000" in lines[0]
+    assert "Scale: 105.000" in lines[1]
+    assert "Scale: 106.000" in lines[2]
