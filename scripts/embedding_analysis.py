@@ -19,16 +19,17 @@ import matplotlib.pyplot as plt
 
 
 def embed_2d(feats, seed=0):
-    """densMAP when umap-learn is available, otherwise PCA (the plot is
-    qualitative; umap is not bundled in this image)."""
+    """densMAP via umap-learn when available, otherwise the native JAX
+    UMAP/densMAP implementation (xclip_tpu.evals.umap — clean-room, jitted
+    kNN + layout; reference: umap.UMAP(densmap=True), embedding_analysis.py:49)."""
     try:
         import umap
 
         return umap.UMAP(densmap=True, random_state=seed).fit_transform(feats)
     except ImportError:
-        feats = feats - feats.mean(axis=0)
-        _, _, vt = np.linalg.svd(feats, full_matrices=False)
-        return feats @ vt[:2].T
+        from xclip_tpu.evals.umap import umap_embed
+
+        return umap_embed(feats, densmap=True, seed=seed)
 
 
 def main(args):
