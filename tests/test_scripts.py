@@ -234,7 +234,9 @@ def test_representational_analysis_capture(tmp_path):
 
 
 def test_embedding_analysis_script(tmp_path):
-    """embedding_analysis end-to-end on cached features (PCA fallback)."""
+    """embedding_analysis end-to-end on cached features (native UMAP path —
+    umap-learn is absent in this image; see tests/test_umap.py for the
+    embedding numerics)."""
     import importlib.util
     import sys
 

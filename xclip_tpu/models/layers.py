@@ -57,6 +57,12 @@ def linear_init(rng, in_dim: int, out_dim: int, *, bias: bool = True, std: Optio
 
 
 def linear_apply(params, x, *, dtype=None):
+    if "kernel_int8" in params:
+        # inference-mode int8 leaf produced by core.quant.quantize_params
+        # (the reference's convert_int8_model_to_inference_mode, utils.py:84)
+        from ..core.quant import int8_linear_apply
+
+        return int8_linear_apply(params, x, dtype=dtype)
     kernel = params["kernel"]
     if dtype is not None:
         x = x.astype(dtype)

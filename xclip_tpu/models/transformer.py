@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from xclip_tpu.core import quant
 from xclip_tpu.models import layers as L
 
 
@@ -118,9 +119,18 @@ def block_apply(params, x, *, heads: int, act: str, mask: Optional[jnp.ndarray] 
     x = x + _ls(params, "ls_1", L.mha_apply(params["attn"], y, num_heads=heads, mask=mask,
                                             dtype=dtype, impl=attention_impl, causal=causal))
     y = L.layernorm_apply(params["ln_2"], x, eps=ln_eps)
-    y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
-    y = act_fn(y)
-    y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
+    # --use-bnb-linear: SwitchBack int8 training matmuls, scoped like the
+    # reference's replace_linear(include_modules=['c_fc','c_proj'])
+    # (open_clip/utils.py:65); inference-mode int8 leaves dispatch inside
+    # linear_apply itself
+    if quant.switchback_enabled() and "kernel" in params["mlp"]["c_fc"]:
+        y = quant.switchback_linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
+        y = act_fn(y)
+        y = quant.switchback_linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
+    else:
+        y = L.linear_apply(params["mlp"]["c_fc"], y, dtype=dtype)
+        y = act_fn(y)
+        y = L.linear_apply(params["mlp"]["c_proj"], y, dtype=dtype)
     return x + _ls(params, "ls_2", y)
 
 

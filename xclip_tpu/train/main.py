@@ -416,6 +416,13 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         seed=args.seed,
     )
+    if getattr(args, "use_bnb_linear", None):
+        # TPU-native int8: SwitchBack matmuls on the MLP c_fc/c_proj linears
+        # (reference main.py:251-259 swaps in bnb triton SwitchBack modules)
+        from xclip_tpu.core import quant
+
+        logging.info(f"=> replacing linear layers with {args.use_bnb_linear}")
+        quant.set_switchback(True)
     if (getattr(args, "aug_cfg", None) or args.image_mean or args.image_std
             or args.image_resize_mode or args.image_interpolation):
         from xclip_tpu.data.transforms import (
@@ -618,6 +625,13 @@ def main(argv=None) -> int:
         logging.info(f"=> resuming checkpoint '{args.resume}' (epoch {start_epoch})")
 
     if "train" not in data:
+        if getattr(args, "use_bnb_linear", None):
+            # int8 inference mode: pre-quantize the MLP weights (reference
+            # main.py:422-425 convert_int8_model_to_inference_mode)
+            from xclip_tpu.core import quant
+
+            quant.set_switchback(False)
+            params = quant.quantize_params(params)
         metrics = evaluate(model, params, state, data, start_epoch, args, tokenizer)
         _append_results(args, metrics)
         if wandb_run is not None:

@@ -175,8 +175,13 @@ def parse_args(args=None) -> argparse.Namespace:
                              "equivalent — reference train_combined_captions.py:157)")
     parser.add_argument("--copy-codebase", default=False, action="store_true")
     # accepted-but-inert torch flags (single pjit program replaces them)
+    parser.add_argument("--use-bnb-linear", default=None,
+                        help="int8 MLP linears (reference: bitsandbytes SwitchBack modules, "
+                             "params.py:456). TPU-native: SwitchBack int8 MXU matmuls on "
+                             "c_fc/c_proj during training; eval-only runs pre-quantize the "
+                             "weights to int8 inference mode (core/quant.py)")
     for flag in ["--horovod", "--ddp-static-graph", "--torchcompile", "--trace",
-                 "--use-bn-sync", "--skip-scheduler", "--use-bnb-linear", "--torchscript",
+                 "--use-bn-sync", "--skip-scheduler", "--torchscript",
                  "--no-set-device-rank", "--force-custom-text"]:
         parser.add_argument(flag, action="store_true", help="accepted for CLI compat; no-op on TPU")
     parser.add_argument("--dist-backend", type=str, default=None, help="no-op: JAX ICI/DCN")
