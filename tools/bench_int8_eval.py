@@ -9,9 +9,13 @@ Usage:  python tools/bench_int8_eval.py [--model ViT-B-32] [--batch 250]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def run(model_name: str, batch: int, steps: int, warmup: int):
