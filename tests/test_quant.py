@@ -152,6 +152,42 @@ def test_switchback_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_switchback_composes_with_zero_pjit():
+    """--use-bnb-linear under --parallelism zero: the SwitchBack matmuls
+    trace inside the pjit global-math step and the sharded step matches the
+    shard_map DP step bit-for-bit in loss."""
+    from xclip_tpu.parallel.mesh import create_mesh
+    from xclip_tpu.train import optim, schedule
+    from xclip_tpu.train.step import TrainStepCfg, make_train_step
+    from xclip_tpu.train.step_pjit import make_train_step_pjit, zero_sharding
+
+    quant.set_switchback(True)
+    model = CLIPModel(clip_cfg_from_dict(TINY_VIT))
+    params, state = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    tx = optim.adamw(schedule.const_lr(1e-3, 0, 10), weight_decay=0.0)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(7)
+    batch = {
+        "images": rng.rand(16, 32, 32, 3).astype(np.float32),
+        "texts": rng.randint(1, 128, (16, 16)).astype(np.int32),
+    }
+
+    ref_step = make_train_step(model, tx, mesh, TrainStepCfg(precision="fp32"))
+    _, _, _, ref_metrics = ref_step(
+        jax.tree_util.tree_map(lambda x: x.copy(), params), state,
+        tx.init(params), dict(batch))
+
+    params_sh = jax.device_put(params, zero_sharding(mesh, params))
+    opt_sh = jax.device_put(opt_state, zero_sharding(mesh, opt_state))
+    step = make_train_step_pjit(
+        model, tx, mesh, TrainStepCfg(precision="fp32"),
+        shard_params=True, example_params=params, example_opt_state=opt_state)
+    _, _, _, metrics = step(params_sh, state, opt_sh, batch)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-4)
+
+
 def test_cli_flag_surface():
     from xclip_tpu.train.params import parse_args
 

@@ -1,0 +1,81 @@
+"""Per-round Mosaic/Pallas health probe for this terminal.
+
+The Pallas kernels (ops/flash_attention.py, ops/fused_conv.py) are correct
+and tested but default-off because the Mosaic pipeline on this relay
+terminal streams far below the XLA elementwise path (r2: 122 GB/s, r4:
+93 GB/s vs 360-379 GB/s XLA). This probe re-measures both sides in one
+process so the A/B ledger entry each round is one command:
+
+    python tools/probe_mosaic.py
+
+If the Pallas copy rate ever approaches the XLA rate, flip
+XCLIP_PALLAS_BLOCK=1 and re-run bench.py.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n = 8192
+    x = jnp.asarray(np.random.RandomState(0).rand(n, n).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    nbytes = n * n * 2
+
+    # NOTE: run this on an IDLE host. Timing is per-dispatch (matches the
+    # r2/r4 probes); a busy host makes both sides dispatch-bound and the
+    # ratio meaningless. Wrapping the pallas_call in an on-device fori_loop
+    # hangs this terminal's Mosaic compile — do not "fix" it that way (a
+    # killed-mid-compile client wedges the terminal for ~20 min).
+    @jax.jit
+    def xla_scale(x):
+        return x * jnp.bfloat16(1.0001)
+
+    def timed(fn, reps=20):
+        y = fn(x)
+        np.asarray(y[:1, :1])  # sync via fetch (relay-safe)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(x)
+        np.asarray(y[:1, :1])
+        dt = (time.perf_counter() - t0) / reps
+        return 2 * nbytes / dt / 1e9  # read + write GB/s
+
+    xla_rate = timed(xla_scale)
+
+    # Pallas copy+scale kernel, 128-row blocks (the r2/r4 probe shape)
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * jnp.bfloat16(1.0001)
+
+    block = 128
+    pallas_scale = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.bfloat16),
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((block, n), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block, n), lambda i: (i, 0)),
+    )
+    try:
+        pallas_rate = timed(jax.jit(pallas_scale))
+    except Exception as exn:  # Mosaic unavailable/broken on this stack
+        print(f"pallas: FAILED ({type(exn).__name__}: {exn})")
+        pallas_rate = 0.0
+
+    print(f"xla_stream_gbps: {xla_rate:.1f}")
+    print(f"pallas_stream_gbps: {pallas_rate:.1f}")
+    print(f"ratio: {pallas_rate / xla_rate:.3f}"
+          + ("  -> keep XCLIP_PALLAS_BLOCK off" if pallas_rate < 0.8 * xla_rate
+             else "  -> Mosaic healthy: A/B the fused kernels in bench.py"))
+
+
+if __name__ == "__main__":
+    main()
