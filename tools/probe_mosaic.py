@@ -52,6 +52,14 @@ def main():
 
     xla_rate = timed(xla_scale)
 
+    # optional: amortize the ~10ms relay dispatch latency by chaining K
+    # executions inside ONE jitted program (Python-unrolled — wrapping the
+    # pallas_call in lax.fori_loop hangs this terminal's Mosaic compile).
+    # Per-dispatch timing under ~10ms relay latency is dispatch-bound for
+    # a 2-3ms kernel, so --chain is the number that means anything here.
+    chain = int(os.environ.get("PROBE_CHAIN", "0") or
+                ("10" if "--chain" in sys.argv else "0"))
+
     # Pallas copy+scale kernel, 128-row blocks (the r2/r4 probe shape)
     def kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...] * jnp.bfloat16(1.0001)
@@ -64,6 +72,40 @@ def main():
         in_specs=[pl.BlockSpec((block, n), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((block, n), lambda i: (i, 0)),
     )
+    if chain:
+        @jax.jit
+        def xla_chained(x):
+            for _ in range(chain):
+                x = x * jnp.bfloat16(1.0001)
+            return x
+
+        @jax.jit
+        def pallas_chained(x):
+            for _ in range(chain):
+                x = pallas_scale(x)
+            return x
+
+        def timed_chain(fn, reps=5):
+            y = fn(x)
+            np.asarray(y[:1, :1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                y = fn(x)
+            np.asarray(y[:1, :1])
+            dt = (time.perf_counter() - t0) / (reps * chain)
+            return 2 * nbytes / dt / 1e9
+
+        xla_rate = timed_chain(xla_chained)
+        try:
+            pallas_rate = timed_chain(pallas_chained)
+        except Exception as exn:
+            print(f"pallas chained: FAILED ({type(exn).__name__}: {exn})")
+            pallas_rate = 0.0
+        print(f"chain={chain} xla_stream_gbps: {xla_rate:.1f}")
+        print(f"chain={chain} pallas_stream_gbps: {pallas_rate:.1f}")
+        print(f"ratio: {pallas_rate / xla_rate:.3f}")
+        return
+
     try:
         pallas_rate = timed(jax.jit(pallas_scale))
     except Exception as exn:  # Mosaic unavailable/broken on this stack
