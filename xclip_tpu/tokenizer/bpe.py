@@ -290,6 +290,14 @@ def simple_mask_tokenize(
     return result
 
 
+def _nltk_has(nltk, resource: str) -> bool:
+    try:
+        nltk.data.find(resource)
+        return True
+    except LookupError:
+        return False
+
+
 def syntax_mask_tokenize(
     texts: Union[str, List[str]],
     context_length: int = DEFAULT_CONTEXT_LENGTH,
@@ -303,21 +311,39 @@ def syntax_mask_tokenize(
     ``context_length - 2`` highest-priority words in their original order,
     re-encode, and truncate with a forced EOT.
 
-    ``word_tokenize``/``pos_tag`` default to nltk (absent in this image —
-    raises ImportError with guidance); tests inject stubs to pin the
-    selection logic.
+    ``word_tokenize``/``pos_tag`` default to nltk; when nltk or its data
+    packs (punkt, averaged_perceptron_tagger) are unavailable — both import
+    AND data are needed, and the data download requires network — this
+    raises ImportError with guidance instead of hanging on
+    ``nltk.download``. Tests inject stubs to pin the selection logic.
     """
     if word_tokenize is None or pos_tag is None:
+        _hint = ("use random_mask_tokenize or simple_mask_tokenize, or inject "
+                 "word_tokenize/pos_tag callables")
         try:
             import nltk
         except ImportError as exn:  # pragma: no cover - env-dependent
             raise ImportError(
-                "syntax_mask_tokenize requires nltk, which is not available in "
-                "this environment; use random_mask_tokenize or simple_mask_tokenize "
-                "(or inject word_tokenize/pos_tag callables)"
-            ) from exn
-        nltk.download("punkt")  # pragma: no cover - env-dependent
-        nltk.download("averaged_perceptron_tagger")  # pragma: no cover
+                f"syntax_mask_tokenize requires nltk, which is not importable "
+                f"in this environment; {_hint}") from exn
+        # resolve the data packs; download only as a fallback (needs network)
+        for pack, paths in (
+            ("punkt", ("tokenizers/punkt", "tokenizers/punkt_tab")),
+            ("averaged_perceptron_tagger",
+             ("taggers/averaged_perceptron_tagger",
+              "taggers/averaged_perceptron_tagger_eng")),
+        ):
+            if any(_nltk_has(nltk, p) for p in paths):
+                continue
+            try:  # pragma: no cover - env-dependent (network)
+                if not nltk.download(pack, quiet=True, raise_on_error=True):
+                    raise LookupError(pack)
+            except Exception as exn:
+                raise ImportError(
+                    f"syntax_mask_tokenize needs the nltk data pack "
+                    f"{pack!r}, which is neither installed nor downloadable "
+                    f"in this environment (no network egress); {_hint}"
+                ) from exn
         word_tokenize = nltk.tokenize.word_tokenize  # pragma: no cover
         pos_tag = nltk.pos_tag  # pragma: no cover
     tk = tokenizer or _default_tokenizer()
