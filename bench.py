@@ -319,16 +319,25 @@ def _roofline_anchors(steps: int = 10):
         float(jnp.sum(jnp.ravel(y)[:2]).astype(jnp.float32))
         return (time.perf_counter() - t0) / steps
 
-    # 1) bf16 streaming copy*scale: 1 read + 1 write
-    x = jnp.ones((512, 1024, 1024), jnp.bfloat16)  # 1 GiB
+    # Probe ops are sized so DEVICE time (~15-30ms each) dominates the
+    # ~10ms relay enqueue latency: the async in-order queue then pipelines
+    # dispatch under execution and the measurement is execution-bound.
+    # (r5 finding: the previous 1 GiB/768 MiB shapes ran ~5ms on device and
+    # the per-dispatch numbers were relay-deflated — 122-134 TF/s for the
+    # matmul vs 163 TF/s measured with dispatch amortized; do NOT shrink
+    # these, and do NOT "fix" it with chained elementwise ops instead —
+    # XLA fuses/folds chains so their pass count is not what you wrote.)
+
+    # 1) bf16 streaming copy*scale: 1 read + 1 write (8 GiB traffic)
+    x = jnp.ones((2048, 1024, 1024), jnp.bfloat16)  # 4 GiB
     stream = jax.jit(lambda x: x * jnp.bfloat16(1.000001))
     dt = timed(stream, x)
     out["hbm_gbps_bf16_stream"] = round(2 * x.size * x.dtype.itemsize / dt / 1e9, 1)
     del x
 
-    # 2) fp32 axpy: 2 reads + 1 write, fp32 lanes
-    xa = jnp.ones((192, 1024, 1024), jnp.float32)  # 768 MiB each
-    ya = jnp.full((192, 1024, 1024), 0.5, jnp.float32)
+    # 2) fp32 axpy: 2 reads + 1 write, fp32 lanes (6 GiB traffic)
+    xa = jnp.ones((512, 1024, 1024), jnp.float32)  # 2 GiB each
+    ya = jnp.full((512, 1024, 1024), 0.5, jnp.float32)
     axpy = jax.jit(lambda x, y: jnp.float32(1.0000001) * x + y)
     dt = timed(axpy, xa, ya)
     out["hbm_gbps_fp32_axpy"] = round(3 * xa.size * 4 / dt / 1e9, 1)
@@ -340,18 +349,21 @@ def _roofline_anchors(steps: int = 10):
     out["hbm_gbps_fp32_reduce"] = round(xa.size * 4 / dt / 1e9, 1)
     del xa
 
-    # 4) MXU: 8192^3 bf16 matmul
-    a = jnp.ones((8192, 8192), jnp.bfloat16)
+    # 4) MXU: 12288^3 bf16 matmul (3.7 TFLOP -> ~23ms at the measured peak)
+    a = jnp.ones((12288, 12288), jnp.bfloat16)
     mm = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.bfloat16))
     dt = timed(mm, a)
-    out["matmul_tflops"] = round(2 * (8192 ** 3) / dt / 1e12, 1)
+    out["matmul_tflops"] = round(2 * (12288 ** 3) / dt / 1e12, 1)
     del a
 
     # spread over the two STREAMING probes (read+write patterns, the step's
-    # traffic shape): agreement corroborates the wall. The reduce-only probe
-    # is reported but excluded — single-output reductions pipeline worse on
-    # TPU (measured ~0.5x streaming here), a kernel-schedule property, and
-    # it can only strengthen the ceiling claim (it never exceeds streaming).
+    # traffic shape). r5 correction: with dispatch-hidden sizing these
+    # measure 429 (bf16) / 507 (fp32 axpy) GB/s — the r2-r4 "350±16 wall"
+    # was deflated by ~10ms relay enqueue latency on ~5ms ops, NOT a
+    # terminal ceiling; the probes now bracket a pattern-dependent
+    # 52-62%-of-datasheet range (spread ~0.15 is the bf16-vs-fp32 lane
+    # difference, not noise). The reduce-only probe is reported but
+    # excluded from the peak (it lands below streaming).
     bws = [out["hbm_gbps_bf16_stream"], out["hbm_gbps_fp32_axpy"]]
     out["hbm_gbps_best"] = max(bws + [out["hbm_gbps_fp32_reduce"]])
     out["hbm_stream_anchor_spread"] = round((max(bws) - min(bws)) / max(bws), 4)
@@ -517,11 +529,20 @@ def main():
             try:
                 from xclip_tpu.utils.traffic import min_bytes_per_step
 
-                floor = min_bytes_per_step(
+                fl = min_bytes_per_step(
                     lambda p, s, o, b: step.jitted(p, s, o, b),
                     params, state, opt_state, batch,
-                    include_adamw_over=params)["total"]
-                roofline_s = floor / peak_gbps / 1e9
+                    include_adamw_over=params)
+                floor = fl["total"]
+                # two-class roofline: the AdamW pass is fp32 axpy-shaped
+                # (charged at the fp32 streaming rate), everything else in
+                # the bf16 compute path at the bf16 streaming rate — using
+                # one max-rate for all bytes overstates the roofline
+                adamw_b = fl["by_kind"].get("adamw", 0)
+                bf16_rate = probes.get("hbm_gbps_bf16_stream", peak_gbps)
+                fp32_rate = probes.get("hbm_gbps_fp32_axpy", peak_gbps)
+                roofline_s = ((floor - adamw_b) / bf16_rate
+                              + adamw_b / fp32_rate) / 1e9
                 anchors["min_bytes_per_step_gb"] = round(floor / 1e9, 3)
                 anchors["bandwidth_roofline_ms"] = round(roofline_s * 1e3, 1)
                 anchors["roofline_attainment"] = round(roofline_s / step_time, 4)

@@ -1,15 +1,23 @@
 """Per-round Mosaic/Pallas health probe for this terminal.
 
 The Pallas kernels (ops/flash_attention.py, ops/fused_conv.py) are correct
-and tested but default-off because the Mosaic pipeline on this relay
-terminal streams far below the XLA elementwise path (r2: 122 GB/s, r4:
-93 GB/s vs 360-379 GB/s XLA). This probe re-measures both sides in one
-process so the A/B ledger entry each round is one command:
+and tested but default-off. History: the r2/r4 probes measured Mosaic at
+93-122 GB/s "vs 360-379 XLA", but those per-dispatch numbers were deflated
+by the ~10ms relay enqueue latency on ~3ms kernels; the r5 chained probe
+(--chain: 20 pallas_calls inside one jit — opaque kernels, so the pass
+count is guaranteed) measures Mosaic at ~324 GB/s, ~0.76x the XLA clean
+streaming rate. The fused 1x1-conv kernels still REGRESS the train step
+(XCLIP_PALLAS_BLOCK=1: 974 vs 1505 img/s/chip, r5) — the gap is Mosaic
+matmul/pipeline quality on conv-shaped kernels, not raw streaming.
 
-    python tools/probe_mosaic.py
+    python tools/probe_mosaic.py           # per-dispatch (dispatch-bound!)
+    python tools/probe_mosaic.py --chain   # dispatch-amortized, the honest one
 
-If the Pallas copy rate ever approaches the XLA rate, flip
-XCLIP_PALLAS_BLOCK=1 and re-run bench.py.
+CAUTION: do not wrap the pallas_call in lax.fori_loop or add
+lax.optimization_barrier chains — both HANG this terminal's compile, and a
+killed-mid-compile client wedges the terminal for 20-60 min. For the XLA
+side prefer bench.py's resized anchors (dispatch-hidden by op size);
+chained XLA elementwise is fusion/folding-contaminated.
 """
 
 import os
