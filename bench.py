@@ -527,7 +527,8 @@ def main():
             # attainment near 1.0 == the schedule moves ~minimum bytes at
             # the measured wall (the committed answer to VERDICT r4 #1)
             try:
-                from xclip_tpu.utils.traffic import min_bytes_per_step
+                from xclip_tpu.utils.traffic import (
+                    bandwidth_roofline_seconds, min_bytes_per_step)
 
                 fl = min_bytes_per_step(
                     lambda p, s, o, b: step.jitted(p, s, o, b),
@@ -541,8 +542,8 @@ def main():
                 adamw_b = fl["by_kind"].get("adamw", 0)
                 bf16_rate = probes.get("hbm_gbps_bf16_stream", peak_gbps)
                 fp32_rate = probes.get("hbm_gbps_fp32_axpy", peak_gbps)
-                roofline_s = ((floor - adamw_b) / bf16_rate
-                              + adamw_b / fp32_rate) / 1e9
+                roofline_s = bandwidth_roofline_seconds(
+                    floor, adamw_b, bf16_rate, fp32_rate)
                 anchors["min_bytes_per_step_gb"] = round(floor / 1e9, 3)
                 anchors["bandwidth_roofline_ms"] = round(roofline_s * 1e3, 1)
                 anchors["roofline_attainment"] = round(roofline_s / step_time, 4)

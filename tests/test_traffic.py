@@ -84,3 +84,15 @@ def test_train_step_floor_sane():
     assert res["total"] > 0
     assert set(res["by_kind"]) <= {"conv", "dot", "gather", "scatter", "adamw"}
     assert res["by_kind"].get("conv", 0) + res["by_kind"].get("dot", 0) > 0
+
+
+def test_two_class_bandwidth_roofline():
+    from xclip_tpu.utils.traffic import bandwidth_roofline_seconds
+
+    # 30 GB floor, 3 GB of it AdamW: 27/450 + 3/500 = 0.066 s
+    s = bandwidth_roofline_seconds(30e9, 3e9, 450.0, 500.0)
+    assert abs(s - (27 / 450 + 3 / 500)) < 1e-9
+    # degenerate: no adamw bytes -> pure bf16-rate division
+    assert abs(bandwidth_roofline_seconds(10e9, 0, 400.0, 500.0) - 10 / 400) < 1e-9
+    # equal rates collapse to single-class
+    assert abs(bandwidth_roofline_seconds(10e9, 4e9, 500.0, 500.0) - 10 / 500) < 1e-9

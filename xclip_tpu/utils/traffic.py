@@ -76,6 +76,16 @@ def optimizer_traffic_bytes(params) -> int:
     return n * 4 * 7
 
 
+def bandwidth_roofline_seconds(total_bytes: int, adamw_bytes: int,
+                               bf16_gbps: float, fp32_gbps: float) -> float:
+    """Two-class bandwidth roofline: the AdamW pass is fp32 axpy-shaped and
+    is charged at the fp32 streaming rate; every other floor byte rides the
+    bf16 compute path at the bf16 streaming rate. Charging ALL bytes at one
+    max rate overstates the roofline (r5 anchor correction, BASELINE.md)."""
+    return ((total_bytes - adamw_bytes) / bf16_gbps
+            + adamw_bytes / fp32_gbps) / 1e9
+
+
 def min_bytes_per_step(fn, *example_args, include_adamw_over=None) -> dict:
     """Perfect-fusion floor for ``fn(*example_args)``.
 
