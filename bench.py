@@ -605,14 +605,29 @@ def main():
             )
             acts = jax.random.normal(jax.random.PRNGKey(1), (sae_bs, 1024), jnp.float32)
             p, o = pipe.params, pipe.opt_state
-            p, o, m, _ = pipe._train_step(p, o, acts)  # compile
-            float(m["total_loss"])
-            sae_steps = max(20, steps)
+            # K steps per dispatch via lax.scan: the ~3ms SAE step is
+            # dispatch-bound over the relay when dispatched one-at-a-time
+            # (measured 183-350 steps/s swinging with relay-day latency);
+            # scanning isolates the device step rate
+            K = 10
+
+            @jax.jit
+            def k_steps(p, o):
+                def body(carry, _):
+                    p, o = carry
+                    p2, o2, m, _ = pipe._train_step(p, o, acts)
+                    return (p2, o2), m["total_loss"]
+                (p, o), losses = jax.lax.scan(body, (p, o), None, length=K)
+                return p, o, losses[-1]
+
+            p, o, last = k_steps(p, o)  # compile
+            float(last)
+            reps = max(2, max(20, steps) // K)
             t1 = time.perf_counter()
-            for _ in range(sae_steps):
-                p, o, m, _ = pipe._train_step(p, o, acts)
-            float(m["total_loss"])
-            sae_rate = sae_steps / (time.perf_counter() - t1)
+            for _ in range(reps):
+                p, o, last = k_steps(p, o)
+            float(last)
+            sae_rate = reps * K / (time.perf_counter() - t1)
             result["sae_steps_per_sec"] = round(sae_rate, 2)
             result["sae_activations_per_sec"] = round(sae_rate * sae_bs, 1)
             _emit({
