@@ -26,9 +26,17 @@ PEAK_TFLOPS = 197.0
 PEAK_GBS = 819.0
 
 
-def timeit_scan(fn_scalar, x, iters=20):
+def timeit_scan(fn_scalar, x, iters=20, reps=3):
     """Time ``fn_scalar(x) -> scalar`` per-iteration: scan on device with a
-    carry-perturbed input so the body can't be hoisted, fetch one scalar."""
+    carry-perturbed input so the body can't be hoisted, fetch one scalar.
+
+    The timed dispatch carries the relay RTT (~10-27ms) ONCE per
+    measurement, so the per-iteration error is RTT/iters — keep ``iters``
+    large enough that it's negligible against the body time (a 10-iter
+    measurement of a 2ms body reads ~2.5ms/iter too high; this bit the
+    r5 per-stage numbers). ``reps`` takes the best of several dispatches
+    to shed scheduling outliers."""
+    iters = max(iters, 50)
 
     @jax.jit
     def run(x):
@@ -43,9 +51,12 @@ def timeit_scan(fn_scalar, x, iters=20):
         return carry
 
     float(run(x))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(x))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def fmt(name, sec, flops=None, bytes_=None):
